@@ -1,0 +1,32 @@
+from grafimo_tpu.utils.constants import (  # noqa: F401
+    ALL_CHROMS,
+    CHROMS_LIST,
+    DEFAULT_OUTDIR,
+    DNA_ALPHABET,
+    LOG_FACTOR,
+    NOMAP,
+    PHASE,
+    PSEUDOBG,
+    RANGE,
+    REV_COMPL,
+    SOURCE,
+    TP,
+    UNIF,
+)
+from grafimo_tpu.utils.misc import (  # noqa: F401
+    almost_equal,
+    anydup,
+    initialize_chroms_list,
+    is_numeric,
+    lg2,
+    list_equal,
+    parse_namemap,
+)
+from grafimo_tpu.utils.sniff import (  # noqa: F401
+    is_bed,
+    is_jaspar,
+    is_meme,
+    is_pfm,
+    is_transfac,
+    sniff_motif_format,
+)
