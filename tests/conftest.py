@@ -6,8 +6,18 @@ jax is imported anywhere.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel), which must not be claimed by unit tests.  The axon site hook also
+# deadlocks jax initialisation when multiple host devices are forced, so it
+# is stripped from the import path entirely.
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":")
+    if p and ".axon_site" not in p
+)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
