@@ -1,32 +1,21 @@
 """Test configuration.
 
 Tests run on the CPU backend with 8 virtual devices so multi-chip sharding
-(`jax.sharding.Mesh`) is exercised without TPU hardware.  Must be set before
-jax is imported anywhere.
+(``jax.sharding.Mesh``) is exercised without TPU hardware.
+
+Note on the environment: a sitecustomize hook imports jax at interpreter
+start with ``JAX_PLATFORMS=axon`` (the TPU tunnel), so env-var changes made
+afterwards are ignored — the backend must be switched through
+``jax.config`` before any backend is initialised.
 """
-
-import os
-import sys
-
-# force CPU: the ambient environment pins JAX_PLATFORMS=axon (the TPU
-# tunnel), which must not be claimed by unit tests.  The axon site hook also
-# deadlocks jax initialisation when multiple host devices are forced, so it
-# is stripped from the import path entirely.
-os.environ["JAX_PLATFORMS"] = "cpu"
-sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
-os.environ["PYTHONPATH"] = ":".join(
-    p for p in os.environ.get("PYTHONPATH", "").split(":")
-    if p and ".axon_site" not in p
-)
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import pathlib
 
+import jax
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 DATA = pathlib.Path(__file__).parent / "data"
 
