@@ -1,0 +1,210 @@
+"""Workflow orchestration: ``buildvg`` and ``findmotif``.
+
+Reference: ``src/grafimo/grafimo.py:32-192`` + ``constructVG.py:137-293``.
+Both workflows are in-memory pipelines here — no subprocesses, no tmp-dir
+file bus:
+
+``buildvg``: FASTA + phased VCF -> one ``.gvt`` site graph (with the
+haplotype bitset index) per chromosome, replacing the reference's
+``vg construct`` / ``vg index`` XG+GBWT artifacts.
+
+``findmotif``: graphs + BED + motif PWMs -> per-motif scored report.  One
+extraction pass per distinct motif width shared across motifs (reference
+``grafimo.py:176``, ``motif_set.py:97-102``), window batches streamed
+through the TPU scoring path, reports written per motif.
+"""
+
+import os
+import time
+from typing import Dict, List, Tuple
+
+from grafimo_tpu.config import BuildVG, Findmotif
+from grafimo_tpu.errors import GraphError
+from grafimo_tpu.graph.extract import extract_region
+from grafimo_tpu.graph.sitegraph import SiteGraph, build_graph
+from grafimo_tpu.io.bed import read_bed_regions
+from grafimo_tpu.io.fasta import fasta_chrom_names, read_fasta
+from grafimo_tpu.io.vcf import iter_vcf_records
+from grafimo_tpu.models.motif import MotifSet
+from grafimo_tpu.models.parse import load_motifs
+from grafimo_tpu.report.writer import print_results, write_results
+from grafimo_tpu.scan import ScanStats, compute_results
+from grafimo_tpu.utils.constants import DEFAULT_OUTDIR
+
+GVT_SUFFIX = ".gvt.npz"
+
+
+def graph_filename(outdir: str, prefix: str, chrom: str) -> str:
+    return os.path.join(outdir, f"{prefix}{chrom}{GVT_SUFFIX}")
+
+
+def buildvg(workflow: BuildVG) -> List[str]:
+    """Build per-chromosome site graphs (reference ``construct_vg``,
+    ``constructVG.py:137-293``); returns the written graph paths."""
+    workflow.validate()
+    outdir = workflow.outdir
+    if outdir == DEFAULT_OUTDIR:
+        outdir = os.getcwd()
+    os.makedirs(outdir, exist_ok=True)
+    chroms = workflow.chroms
+    if not chroms:
+        chroms = fasta_chrom_names(workflow.reference_genome)
+    if workflow.verbose:
+        print(f"Building variation graphs for chromosomes: {chroms}")
+    seqs = read_fasta(workflow.reference_genome, chroms)
+    written = []
+    for chrom in chroms:
+        if chrom not in seqs:
+            raise GraphError(
+                f"chromosome {chrom} not found in "
+                f"{workflow.reference_genome}"
+            )
+        start = time.time()
+        records = list(iter_vcf_records(workflow.vcf, chrom))
+        graph = build_graph(chrom, seqs[chrom], records)
+        name = chrom
+        if workflow.namemap:
+            name = workflow.namemap.get(chrom, chrom)
+        path = graph_filename(outdir, workflow.chroms_prefix, name)
+        graph.save(path)
+        written.append(path)
+        if workflow.verbose:
+            print(
+                f"graph for {chrom}: {graph.n_nodes} nodes, "
+                f"{len(graph.sites)} sites, "
+                f"{graph.haplo.n_hap if graph.haplo else 0} haplotypes "
+                f"({time.time() - start:.2f}s) -> {path}"
+            )
+    return written
+
+
+def _resolve_graph_path(workflow: Findmotif, chrom: str) -> str:
+    """Map a BED chromosome name to its graph file (reference name-map /
+    prefix translation, ``extract_regions.py:135-226``)."""
+    c = chrom[3:] if chrom.startswith("chr") else chrom
+    if workflow.namemap:
+        c = workflow.namemap.get(c, c)
+        name = c
+    else:
+        name = f"{workflow.chroms_prefix}{c}"
+    return os.path.join(workflow.graph_genome_dir, f"{name}{GVT_SUFFIX}")
+
+
+def _display_chrom(workflow: Findmotif, chrom: str) -> str:
+    """Chromosome name used in region strings (reference strips the
+    prefix, ``extract_regions.py:160-164``)."""
+    c = chrom[3:] if chrom.startswith("chr") else chrom
+    if workflow.namemap:
+        return workflow.namemap.get(c, c)
+    return c
+
+
+def _load_graphs(
+    workflow: Findmotif, chroms_in_bed: List[str]
+) -> Dict[str, Tuple[str, SiteGraph]]:
+    """Load the graph for every requested chromosome; returns
+    ``{bed_chrom: (display_name, graph)}``."""
+    selected = workflow.chroms
+    graphs: Dict[str, Tuple[str, SiteGraph]] = {}
+    if workflow.has_graphgenome():
+        g = SiteGraph.load(workflow.graph_genome)
+        for chrom in chroms_in_bed:
+            c = chrom[3:] if chrom.startswith("chr") else chrom
+            if selected and c not in selected:
+                continue
+            if c == g.chrom or chrom == g.chrom:
+                graphs[chrom] = (_display_chrom(workflow, chrom), g)
+        if not graphs:
+            raise GraphError(
+                f"graph chromosome {g.chrom!r} does not match any BED "
+                f"chromosome {chroms_in_bed}"
+            )
+        return graphs
+    for chrom in chroms_in_bed:
+        c = chrom[3:] if chrom.startswith("chr") else chrom
+        if selected and c not in selected:
+            continue
+        path = _resolve_graph_path(workflow, chrom)
+        if not os.path.isfile(path):
+            raise GraphError(
+                f"unable to locate {path} — are your graphs named with "
+                f'"chr"? Consider --chroms-prefix-find or '
+                f"--chroms-namemap-find"
+            )
+        graphs[chrom] = (_display_chrom(workflow, chrom), SiteGraph.load(path))
+    return graphs
+
+
+def findmotif(workflow: Findmotif) -> List[str]:
+    """Scan the variation graph(s) for motif occurrences
+    (reference ``findmotif``, ``grafimo.py:80-192``); returns the written
+    report directories (empty for ``--text-only``)."""
+    workflow.validate()
+    # motifs
+    motif_set = MotifSet()
+    for motif_file in workflow.motifs:
+        motif_set.add(
+            load_motifs(
+                motif_file, workflow.bgfile, workflow.pseudo,
+                workflow.no_reverse,
+            )
+        )
+    print(f"Read {len(motif_set)} motif(s); widths: {sorted(motif_set.widths)}")
+    # regions + graphs
+    regions, region_num = read_bed_regions(workflow.bedfile)
+    print(f"Found {region_num} regions in {workflow.bedfile}")
+    graphs = _load_graphs(workflow, list(regions.keys()))
+    # one extraction pass per distinct width, shared by all motifs of that
+    # width (reference grafimo.py:176)
+    batches_per_width = {}
+    for width in sorted(motif_set.widths):
+        batches = []
+        t0 = time.time()
+        for chrom, (display, graph) in graphs.items():
+            for start, stop in regions[chrom]:
+                batch = extract_region(
+                    graph, start, stop, width, chrom_display=display,
+                    both_strands=True,
+                )
+                if len(batch):
+                    batches.append(batch)
+        batches_per_width[width] = batches
+        if workflow.verbose:
+            n = sum(len(b) for b in batches)
+            print(
+                f"width {width}: extracted {n} candidate windows in "
+                f"{time.time() - t0:.2f}s"
+            )
+    # score per motif
+    outdirs = []
+    chrom_graphs = {d: g for (d, g) in graphs.values()}
+    for motif in motif_set:
+        stats = ScanStats()
+        df = compute_results(
+            motif,
+            batches_per_width[motif.width],
+            threshold=workflow.threshold,
+            no_qvalue=workflow.no_qvalue,
+            qval_t=workflow.qval_t,
+            no_reverse=workflow.no_reverse,
+            recomb=workflow.recomb,
+            stats=stats,
+        )
+        print(f"Scanned sequences:\t{stats.seqs_scanned}")
+        print(f"Scanned nucleotides:\t{stats.nucs_scanned}")
+        if workflow.text_only:
+            print_results(df)
+        else:
+            outdirs.append(
+                write_results(
+                    df,
+                    motif.motif_id,
+                    len(motif_set),
+                    workflow.outdir,
+                    no_qvalue=workflow.no_qvalue,
+                    top_graphs=workflow.top_graphs,
+                    graphs=chrom_graphs,
+                    verbose=workflow.verbose,
+                )
+            )
+    return outdirs
