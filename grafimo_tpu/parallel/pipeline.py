@@ -1,0 +1,142 @@
+"""Multi-chip scan pipeline: data-parallel windows x motif-parallel PWMs.
+
+The reference's only parallelism was single-host ``multiprocessing`` over
+TSV chunks with Manager-dict merges (``score_sequences.py:115-157``).  The
+TPU-native layout (SURVEY.md §2.18, §5.8):
+
+* window batches are sharded over the mesh ``data`` axis (every window is
+  independent — the scan is embarrassingly data-parallel);
+* the PWM block is sharded over the ``motif`` axis (model parallelism over
+  independent motifs; with one motif the axis is 1);
+* per-shard integer score histograms are ``psum``-reduced over ``data`` —
+  the ONLY cross-chip communication, a few hundred KB per motif — giving
+  every chip the exact global score distribution, from which exact p-value
+  cutoffs and exact global BH q-values follow without gathering any
+  per-window data;
+* hits are compacted host-side from the sharded score output.
+
+The same step function serves 1 chip, 1 host, or an N-host pod slice; only
+the mesh changes.
+"""
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from grafimo_tpu.utils.constants import N_CODE, PAD_CODE
+
+
+def make_mesh(
+    n_data: Optional[int] = None, n_motif: int = 1, devices=None
+) -> Mesh:
+    """Build a ``(data, motif)`` mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_motif
+    devices = devices[: n_data * n_motif].reshape(n_data, n_motif)
+    return Mesh(devices, axis_names=("data", "motif"))
+
+
+def _score_core(codes, pwm_flat, min_scores, hist_size: int):
+    """Single-shard scoring + histogram (same math as
+    ``ops/score_jax.score_and_histogram``)."""
+    b, k = codes.shape
+    codes = codes.astype(jnp.int32)
+    onehot = (
+        codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)
+    onehot = onehot.reshape(b, 4 * k)
+    scores = jnp.dot(
+        onehot, pwm_flat, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    has_n = jnp.any(codes >= N_CODE, axis=1)
+    scores = jnp.where(has_n[:, None], min_scores[None, :], scores)
+    # padding rows score -1: never counted in histograms nor past cutoffs
+    is_pad = jnp.any(codes >= PAD_CODE, axis=1)
+    scores = jnp.where(is_pad[:, None], jnp.int32(-1), scores)
+    m_idx = jnp.broadcast_to(
+        jnp.arange(scores.shape[1], dtype=jnp.int32)[None, :], scores.shape
+    )
+    valid = (scores >= 0).astype(jnp.int32)
+    hist = jnp.zeros((hist_size, scores.shape[1]), jnp.int32)
+    hist = hist.at[jnp.clip(scores, 0, hist_size - 1), m_idx].add(valid)
+    return scores, hist
+
+
+def sharded_scan_step(mesh: Mesh, hist_size: int):
+    """Build the jitted multi-chip scan step for a given mesh.
+
+    Returns ``step(codes, pwm_flat, min_scores, cutoffs) -> (scores, hist,
+    hit_counts)`` where
+
+    * ``codes (B, k)`` is sharded ``P('data', None)``;
+    * ``pwm_flat (4k, M)`` and ``min_scores``/``cutoffs (M,)`` are sharded
+      over ``motif`` (replicated when the motif axis is 1);
+    * ``scores (B, M)`` comes back sharded ``P('data', 'motif')``;
+    * ``hist (hist_size, M)`` is the ``data``-psum'd exact global histogram
+      (sharded over ``motif`` only);
+    * ``hit_counts (M,)`` are global per-motif counts of ``score >=
+      cutoff`` (integer-exact device-side thresholding; the cutoff encodes
+      ``p-value < t``, see ``models/pvalue.PvalueLookup.score_cutoff``).
+    """
+
+    def _step(codes, pwm_flat, min_scores, cutoffs):
+        scores, hist = _score_core(codes, pwm_flat, min_scores, hist_size)
+        hist = jax.lax.psum(hist, "data")
+        hits = jnp.sum(
+            ((scores >= cutoffs[None, :]) & (scores >= 0)).astype(jnp.int32),
+            axis=0,
+        )
+        hits = jax.lax.psum(hits, "data")
+        return scores, hist, hits
+
+    step = jax.jit(
+        jax.shard_map(
+            _step,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P(None, "motif"),
+                P("motif"),
+                P("motif"),
+            ),
+            out_specs=(P("data", "motif"), P(None, "motif"), P("motif")),
+        )
+    )
+
+    def run(
+        codes: np.ndarray,
+        pwm_flat: np.ndarray,
+        min_scores: np.ndarray,
+        cutoffs: Optional[np.ndarray] = None,
+    ):
+        if cutoffs is None:
+            cutoffs = np.zeros(pwm_flat.shape[1], dtype=np.int32)
+        codes_sh = jax.device_put(
+            codes, NamedSharding(mesh, P("data", None))
+        )
+        return step(
+            codes_sh,
+            jnp.asarray(pwm_flat),
+            jnp.asarray(min_scores),
+            jnp.asarray(cutoffs, dtype=jnp.int32),
+        )
+
+    return run
+
+
+def pad_batch(codes: np.ndarray, multiple: int, pad_code: int = PAD_CODE):
+    """Pad the window batch to a multiple of the data-shard count.  Padding
+    rows carry ``PAD_CODE`` and score ``-1``: they are dropped from
+    histograms and hit counts on device; strip them by row count on the
+    scores output."""
+    b = codes.shape[0]
+    rem = (-b) % multiple
+    if rem == 0:
+        return codes, b
+    pad = np.full((rem, codes.shape[1]), pad_code, dtype=codes.dtype)
+    return np.concatenate([codes, pad]), b

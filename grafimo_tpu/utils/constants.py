@@ -14,6 +14,8 @@ CODE2NUC = "ACGT"
 # code used for any non-ACGT symbol in packed tensors (scored as min_score,
 # reference score_sequences.py:376-378)
 N_CODE = 4
+# code used for batch-padding rows: scored -1 and excluded from histograms
+PAD_CODE = 5
 
 REV_COMPL = {"A": "T", "C": "G", "G": "C", "T": "A"}
 

@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from grafimo_tpu.models.parse import load_motifs
+from grafimo_tpu.ops.score_jax import (
+    hist_size_for_width,
+    pwms_to_flat,
+    reverse_complement_pwm,
+    score_and_histogram,
+)
+from grafimo_tpu.parallel.pipeline import make_mesh, pad_batch, sharded_scan_step
+from grafimo_tpu.utils.constants import UNIF
+
+
+@pytest.fixture(scope="module")
+def ctcf(input_dir):
+    return load_motifs(str(input_dir / "MA0139.1.meme"), UNIF, 0.1, False)[0]
+
+
+def test_sharded_matches_single_device(ctcf):
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, (1024, 19)).astype(np.uint8)
+    pwm = pwms_to_flat([ctcf.score_matrix, reverse_complement_pwm(ctcf.score_matrix)])
+    mins = np.array([ctcf.min_score, ctcf.min_score], dtype=np.int32)
+    hs = hist_size_for_width(19)
+
+    ref_scores, ref_hist = score_and_histogram(codes, pwm, mins, hs)
+    mesh = make_mesh(n_data=4, n_motif=2)
+    run = sharded_scan_step(mesh, hs)
+    cutoffs = np.array([1000, 1000], dtype=np.int32)
+    scores, hist, hits = run(codes, pwm, mins, cutoffs)
+    np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref_scores))
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(ref_hist))
+    expect_hits = (np.asarray(ref_scores) >= 1000).sum(axis=0)
+    np.testing.assert_array_equal(np.asarray(hits), expect_hits)
+
+
+def test_padding_excluded_from_histogram(ctcf):
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, (1001, 19)).astype(np.uint8)  # not % 8
+    pwm = pwms_to_flat([ctcf.score_matrix])
+    mins = np.array([ctcf.min_score], dtype=np.int32)
+    hs = hist_size_for_width(19)
+    padded, n_valid = pad_batch(codes, 8)
+    assert padded.shape[0] == 1008 and n_valid == 1001
+    mesh = make_mesh(n_data=8, n_motif=1)
+    run = sharded_scan_step(mesh, hs)
+    scores, hist, hits = run(padded, pwm, mins, np.array([0], np.int32))
+    assert int(np.asarray(hist).sum()) == 1001
+    assert int(np.asarray(hits)[0]) == 1001  # pads score -1, excluded
+    # unpadded scores match the plain path
+    ref_scores, _ = score_and_histogram(codes, pwm, mins, hs)
+    np.testing.assert_array_equal(
+        np.asarray(scores)[:1001, 0], np.asarray(ref_scores)[:, 0]
+    )
+
+
+def test_rc_pwm_equals_scoring_revcomp(ctcf):
+    from grafimo_tpu.ops.encode import revcomp_codes, seqs_to_codes
+    from grafimo_tpu.ops.score_jax import score_batch
+
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, (256, 19)).astype(np.uint8)
+    pwm_f = pwms_to_flat([ctcf.score_matrix])
+    pwm_rc = pwms_to_flat([reverse_complement_pwm(ctcf.score_matrix)])
+    mins = np.array([ctcf.min_score], dtype=np.int32)
+    s_rc_pwm = np.asarray(score_batch(codes, pwm_rc, mins))
+    s_direct = np.asarray(score_batch(revcomp_codes(codes), pwm_f, mins))
+    np.testing.assert_array_equal(s_rc_pwm, s_direct)
+
+
+def test_mesh_uses_all_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
