@@ -27,11 +27,12 @@ def main() -> None:
     import jax
 
     from grafimo_tpu.models.parse import load_motifs
+    from grafimo_tpu.ops.pack import pack_codes
     from grafimo_tpu.ops.score_jax import (
         hist_size_for_width,
         pwms_to_flat,
         reverse_complement_pwm,
-        score_and_histogram,
+        score_and_histogram_packed,
     )
     from grafimo_tpu.utils.constants import UNIF
 
@@ -46,26 +47,28 @@ def main() -> None:
     mins = np.array([motif.min_score] * 2, dtype=np.int32)
     hs = hist_size_for_width(k)
 
-    B = 1 << 20  # windows per device batch
+    B = 1 << 21  # windows per device batch
     iters = 16
     rng = np.random.default_rng(0)
-    # pre-generate host batches (the extractor's output format): streaming
-    # them each iteration keeps host->device transfer inside the timing
+    # pre-generate host batches in the extractor's streaming format (2-bit
+    # packed codes + flag byte); streaming them each iteration keeps the
+    # host->device transfer inside the timing
     host_batches = [
-        rng.integers(0, 4, (B, k)).astype(np.uint8) for _ in range(4)
+        pack_codes(rng.integers(0, 4, (B, k)).astype(np.uint8))
+        for _ in range(4)
     ]
 
-    def step(codes):
-        return score_and_histogram(codes, pwm, mins, hs)
+    def step(packed, flags):
+        return score_and_histogram_packed(packed, flags, pwm, mins, k, hs)
 
     # warmup / compile
-    s, h = step(host_batches[0])
+    s, h = step(*host_batches[0])
     jax.block_until_ready((s, h))
 
     t0 = time.perf_counter()
     outs = []
     for i in range(iters):
-        s, h = step(host_batches[i % len(host_batches)])
+        s, h = step(*host_batches[i % len(host_batches)])
         outs.append(h)
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
