@@ -139,6 +139,11 @@ def get_parser() -> argparse.ArgumentParser:
         "--top-graphs", type=int, default=0, dest="top_graphs",
         help="write images of the top N region graphs",
     )
+    find.add_argument(
+        "--engine", type=str, default="runs", choices=["runs", "windows"],
+        help="scan engine: run-compressed device scan (default) or the "
+             "per-window reference path",
+    )
     return parser
 
 
@@ -192,6 +197,7 @@ def args_to_workflow(args: argparse.Namespace):
         outdir=outdir,
         verbose=args.verbose,
         debug=args.debug,
+        engine=args.engine,
     )
 
 

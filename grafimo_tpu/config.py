@@ -60,6 +60,9 @@ class Findmotif:
     outdir: str = DEFAULT_OUTDIR
     verbose: bool = False
     debug: bool = False
+    # scan engine: "runs" = run-compressed device scan (production),
+    # "windows" = per-window reference path
+    engine: str = "runs"
 
     def has_graphgenome(self) -> bool:
         return bool(self.graph_genome)
@@ -95,6 +98,8 @@ class Findmotif:
             )
         if self.top_graphs < 0:
             raise ValueError("--top-graphs must be >= 0")
+        if self.engine not in ("runs", "windows"):
+            raise ValueError(f"unknown scan engine {self.engine!r}")
 
 
 NOMAP_SENTINEL = NOMAP

@@ -1,0 +1,315 @@
+"""Run-compressed window extraction.
+
+The per-window pipeline (``graph/enumerate.py``) materialises every k-window
+on the host and ships ~5 bytes/window to the device.  At TPU speeds the
+host->device link, not compute, is the scan's bottleneck — so this module
+reorganises extraction around **runs**: contiguous path sequences in which
+every stride-1 offset is (potentially) a window.  The device expands windows
+from runs itself (conv-style scan, ``ops/score_runs.py``); the wire carries
+~0.3 bytes *per window* and the host never materialises windows at all —
+only reconstructs the few hits that survive thresholding.
+
+Decomposition (per region, per width k):
+
+* variant **clusters**: maximal groups of sites separated by less than
+  ``k + D + 1`` reference bases (``D`` = the cluster's total deletable
+  span); by construction no k-window can touch two clusters;
+* one run per (cluster, allele combination): the substituted sequence over
+  the cluster plus ``k-1``-base reference flanks, with a validity mask
+  selecting offsets whose windows (a) determine at least one site of the
+  cluster, (b) determine every non-reference choice of the combination
+  (canonical-assignment dedup: a window that does not reach site ``s`` is
+  only valid in combinations where ``s`` is reference), and (c) fit the
+  region bounds;
+* one **backbone** run per region: the reference sequence, valid at
+  offsets whose windows determine no site at all.
+
+Together these partition the exact window set of the per-window enumerator
+(differentially tested).  Frequencies, coordinates, node paths and ref
+flags are reconstructed per *hit* from run metadata.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from grafimo_tpu.graph.sitegraph import Site, SiteGraph
+
+MAX_COMBOS_PER_CLUSTER = 1 << 14
+
+
+@dataclass
+class Run:
+    """One scannable path sequence with per-offset window validity."""
+
+    seq: str
+    valid: np.ndarray  # bool (len(seq)-k+1,)
+    pos_begin: np.ndarray  # int64 (len,) begin coord per offset
+    pos_end: np.ndarray  # int64 (len+1,) end coord after j consumed bases
+    node_of_base: np.ndarray  # int32 (len,) node id per base
+    # (site_id, allele_idx, determined-interval lo, hi) per cluster site
+    site_info: List[Tuple[int, int, int, int]]
+    region_start: int
+    region_end: int
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+    def n_windows(self) -> int:
+        return int(self.valid.sum())
+
+
+@dataclass
+class RunHit:
+    begin: int
+    end: int
+    seq: str
+    path: List[int]
+    is_ref: bool
+    freq: int
+
+
+def _site_deletable(site: Site) -> int:
+    span = site.ref_end - site.ref_start
+    min_len = min(len(a) for a in site.alleles)
+    return max(0, span - min_len)
+
+
+def cluster_sites(
+    graph: SiteGraph, region_start: int, region_end: int, k: int
+) -> List[List[Site]]:
+    """Group region-relevant sites into window-disjoint clusters."""
+    sites = [
+        s
+        for s in graph.sites
+        if s.ref_start <= region_end and s.ref_end >= region_start
+    ]
+    clusters: List[List[Site]] = []
+    d_cur = 0
+    for s in sites:
+        if clusters and s.ref_start - clusters[-1][-1].ref_end < k + d_cur + 1:
+            clusters[-1].append(s)
+            d_cur += _site_deletable(s)
+        else:
+            clusters.append([s])
+            d_cur = _site_deletable(s)
+    return clusters
+
+
+def _combinations(cluster: Sequence[Site]) -> Iterator[List[int]]:
+    n = 1
+    for s in cluster:
+        n *= len(s.alleles)
+    if n > MAX_COMBOS_PER_CLUSTER:
+        raise OverflowError(
+            f"cluster of {len(cluster)} sites has {n} allele combinations"
+        )
+    combo = [0] * len(cluster)
+    while True:
+        yield list(combo)
+        i = len(cluster) - 1
+        while i >= 0:
+            combo[i] += 1
+            if combo[i] < len(cluster[i].alleles):
+                break
+            combo[i] = 0
+            i -= 1
+        if i < 0:
+            return
+
+
+def _build_cluster_run(
+    graph: SiteGraph,
+    cluster: Sequence[Site],
+    combo: List[int],
+    region_start: int,
+    region_end: int,
+    k: int,
+) -> Optional[Run]:
+    """Materialise one (cluster, combination) run with metadata."""
+    chrom_len = graph.length
+    flank_l = max(0, cluster[0].ref_start - (k - 1))
+    flank_r = min(chrom_len, cluster[-1].ref_end + (k - 1))
+
+    seq_parts: List[str] = []
+    pos_begin: List[int] = []
+    pos_end: List[int] = [flank_l]
+    node_of_base: List[int] = []
+    site_info: List[Tuple[int, int, int, int]] = []
+
+    def emit_ref(lo: int, hi: int) -> None:
+        for c in range(lo, hi):
+            seq_parts.append(graph.seq[c])
+            pos_begin.append(c)
+            pos_end.append(c + 1)
+            node_of_base.append(graph.ref_node_at(c))
+
+    # left flank (pure reference by cluster separation)
+    emit_ref(flank_l, cluster[0].ref_start)
+    cursor = cluster[0].ref_start
+    for site, a_idx in zip(cluster, combo):
+        # intra-cluster reference gap
+        emit_ref(cursor, site.ref_start)
+        allele = site.alleles[a_idx]
+        a_start = len(seq_parts)  # path offset of the allele region
+        if allele == "":
+            # zero-length region: determined by windows crossing the
+            # junction at path offset a_start
+            site_info.append(
+                (site.site_id, a_idx, a_start - k + 1, a_start - 1)
+            )
+        else:
+            nid = site.allele_nodes[a_idx]
+            alen = len(allele)
+            for o in range(alen):
+                seq_parts.append(allele[o])
+                pos_begin.append(
+                    min(site.ref_start + o, site.ref_end)
+                )
+                pos_end.append(
+                    site.ref_end
+                    if o + 1 == alen
+                    else min(site.ref_start + o + 1, site.ref_end)
+                )
+                node_of_base.append(nid)
+            site_info.append(
+                (site.site_id, a_idx, a_start - k + 1, a_start + alen - 1)
+            )
+        cursor = site.ref_end
+    # right flank
+    emit_ref(cursor, flank_r)
+
+    L = len(seq_parts)
+    if L < k:
+        return None
+    n_off = L - k + 1
+    pos_begin_a = np.array(pos_begin, dtype=np.int64)
+    pos_end_a = np.array(pos_end, dtype=np.int64)
+    offs = np.arange(n_off)
+    # (b) canonical-assignment dedup + (a) determines >= 1 site
+    any_det = np.zeros(n_off, dtype=bool)
+    valid = np.ones(n_off, dtype=bool)
+    for (sid, a_idx, lo, hi) in site_info:
+        in_interval = (offs >= max(lo, 0)) & (offs <= min(hi, n_off - 1))
+        any_det |= in_interval
+        if a_idx != 0:
+            valid &= in_interval
+    valid &= any_det
+    # (c) region bounds
+    valid &= pos_begin_a[:n_off] >= region_start
+    valid &= pos_end_a[k:] <= region_end
+    if not valid.any():
+        return None
+    return Run(
+        seq="".join(seq_parts),
+        valid=valid,
+        pos_begin=pos_begin_a,
+        pos_end=pos_end_a,
+        node_of_base=np.array(node_of_base, dtype=np.int32),
+        site_info=site_info,
+        region_start=region_start,
+        region_end=region_end,
+    )
+
+
+def _build_backbone_run(
+    graph: SiteGraph,
+    clusters: List[List[Site]],
+    region_start: int,
+    region_end: int,
+    k: int,
+) -> Optional[Run]:
+    """Pure-reference windows that determine no site."""
+    lo = max(0, region_start)
+    hi = min(graph.length, region_end)
+    L = hi - lo
+    if L < k:
+        return None
+    n_off = L - k + 1
+    offs = np.arange(n_off) + lo  # begin coordinate per offset
+    valid = np.ones(n_off, dtype=bool)
+    for cl in clusters:
+        for site in cl:
+            if site.ref_end > site.ref_start:
+                # window overlaps the site's ref span -> determined
+                det = (offs + k > site.ref_start) & (offs < site.ref_end)
+            else:
+                # insertion: determined when crossing the junction
+                det = (offs < site.ref_start) & (offs + k > site.ref_start)
+            valid &= ~det
+    if not valid.any():
+        return None
+    node_of_base = np.zeros(L, dtype=np.int32)
+    for s, e, nid in graph.segments:
+        a, b = max(s, lo), min(e, hi)
+        if a < b:
+            node_of_base[a - lo : b - lo] = nid
+    for site in graph.sites:
+        a, b = max(site.ref_start, lo), min(site.ref_end, hi)
+        if a < b and site.allele_nodes[0]:
+            node_of_base[a - lo : b - lo] = site.allele_nodes[0]
+    coords = np.arange(lo, hi + 1, dtype=np.int64)
+    return Run(
+        seq=graph.seq[lo:hi],
+        valid=valid,
+        pos_begin=coords[:-1],
+        pos_end=coords,
+        node_of_base=node_of_base,
+        site_info=[],
+        region_start=region_start,
+        region_end=region_end,
+    )
+
+
+def region_runs(
+    graph: SiteGraph, region_start: int, region_end: int, k: int
+) -> List[Run]:
+    """All runs for one region (backbone + cluster combinations)."""
+    clusters = cluster_sites(graph, region_start, region_end, k)
+    runs: List[Run] = []
+    bb = _build_backbone_run(graph, clusters, region_start, region_end, k)
+    if bb is not None:
+        runs.append(bb)
+    for cluster in clusters:
+        for combo in _combinations(cluster):
+            r = _build_cluster_run(
+                graph, cluster, combo, region_start, region_end, k
+            )
+            if r is not None:
+                runs.append(r)
+    return runs
+
+
+def reconstruct_hit(graph: SiteGraph, run: Run, offset: int, k: int) -> RunHit:
+    """Rebuild full window metadata for one (run, offset) hit."""
+    assert run.valid[offset]
+    seq = run.seq[offset : offset + k]
+    begin = int(run.pos_begin[offset])
+    end = int(run.pos_end[offset + k])
+    nodes = run.node_of_base[offset : offset + k]
+    path: List[int] = []
+    for n in nodes.tolist():
+        if not path or path[-1] != n:
+            path.append(n)
+    choices = [
+        (sid, a_idx)
+        for (sid, a_idx, lo, hi) in run.site_info
+        if lo <= offset <= hi
+    ]
+    is_ref = all(graph.node_is_ref[n] for n in path)
+    freq = graph.haplo.count(choices) if graph.haplo is not None else 0
+    return RunHit(
+        begin=begin, end=end, seq=seq, path=path, is_ref=is_ref, freq=freq
+    )
+
+
+def expand_all_windows(
+    graph: SiteGraph, runs: List[Run], k: int
+) -> List[RunHit]:
+    """Materialise every valid window of every run (testing / slow path)."""
+    out: List[RunHit] = []
+    for run in runs:
+        for o in np.nonzero(run.valid)[0].tolist():
+            out.append(reconstruct_hit(graph, run, o, k))
+    return out

@@ -59,6 +59,30 @@ class SiteGraph:
     def n_nodes(self) -> int:
         return len(self.node_seqs) - 1
 
+    def ref_node_at(self, coord: int) -> int:
+        """Reference-path node covering a ref coordinate (binary search
+        over the segment/ref-allele partition of ``[0, len(seq))``)."""
+        starts, nodes = self._ref_cover()
+        i = int(np.searchsorted(starts, coord, side="right")) - 1
+        return int(nodes[i]) if i >= 0 else 0
+
+    def _ref_cover(self):
+        cover = getattr(self, "_ref_cover_cache", None)
+        if cover is None:
+            spans = [(s, nid) for (s, _e, nid) in self.segments]
+            spans += [
+                (st.ref_start, st.allele_nodes[0])
+                for st in self.sites
+                if st.ref_end > st.ref_start
+            ]
+            spans.sort()
+            cover = (
+                np.array([s for s, _ in spans], dtype=np.int64),
+                np.array([n for _, n in spans], dtype=np.int64),
+            )
+            self._ref_cover_cache = cover
+        return cover
+
     @property
     def length(self) -> int:
         return len(self.seq)

@@ -1,0 +1,132 @@
+"""Device-side run scanning: expand + score every stride-1 window of a run
+batch in one fused program.
+
+Input per run (all bit-packed on the wire — this is what crosses the
+host->device link instead of materialised windows):
+
+* ``packed (B, R/4) uint8`` — 2-bit base codes, 4 bases/byte;
+* ``nbits (B, R/8) uint8`` — N-base indicator bits;
+* ``vbits (B, ceil(Noff/8)) uint8`` — window-validity bits
+  (``Noff = R - k + 1`` stride-1 offsets).
+
+The scan is a 1-D convolution of the one-hot sequence with the ``(k, 4,
+M)`` PWM stack (forward + reverse-complement PWMs as extra M columns), so
+the MXU does the window expansion implicitly — no (B*Noff, k) window tensor
+ever exists in HBM.  N-windows are detected with a cumulative-sum trick and
+scored ``min_score`` (reference ``score_sequences.py:376-378``); invalid
+offsets score -1 and are excluded from the histogram and hit bits.
+
+Outputs: the exact integer score histogram per motif column and a packed
+hit bitmask (``score >= cutoff``), both tiny on the wire.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_run_seqs(codes: np.ndarray) -> np.ndarray:
+    """Pack ``(B, R)`` base codes (0..3; other values masked separately)
+    into ``(B, R/4)`` uint8.  R must be a multiple of 4."""
+    b, r = codes.shape
+    assert r % 4 == 0
+    quads = np.minimum(codes, 3).astype(np.uint8).reshape(b, r // 4, 4)
+    return (
+        quads[:, :, 0]
+        | (quads[:, :, 1] << 2)
+        | (quads[:, :, 2] << 4)
+        | (quads[:, :, 3] << 6)
+    ).astype(np.uint8)
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """Pack ``(B, L)`` booleans into ``(B, ceil(L/8))`` uint8
+    (little-endian bit order)."""
+    return np.packbits(bits.astype(np.uint8), axis=1, bitorder="little")
+
+
+def pwms_to_conv_kernel(score_matrices) -> np.ndarray:
+    """Stack ``(4, k)`` integer score matrices into a ``(k, 4, M)`` f32
+    convolution kernel."""
+    mats = [np.asarray(m, dtype=np.float32).T for m in score_matrices]
+    return np.ascontiguousarray(np.stack(mats, axis=-1))
+
+
+def _unpack2(packed: jnp.ndarray) -> jnp.ndarray:
+    shifts = jnp.arange(4, dtype=jnp.int32) * 2
+    quads = (packed.astype(jnp.int32)[:, :, None] >> shifts[None, None, :]) & 3
+    return quads.reshape(packed.shape[0], -1)
+
+
+def _unpack1(packed: jnp.ndarray, n: int) -> jnp.ndarray:
+    shifts = jnp.arange(8, dtype=jnp.int32)
+    bits = (packed.astype(jnp.int32)[:, :, None] >> shifts[None, None, :]) & 1
+    return bits.reshape(packed.shape[0], -1)[:, :n]
+
+
+@partial(jax.jit, static_argnames=("k", "hist_size"))
+def scan_runs_device(
+    packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k: int,
+    hist_size: int,
+):
+    """Scan a padded run batch.
+
+    Returns ``(hist (hist_size, M) int32, hitbits (B, ceil(Noff/8), M)
+    uint8)``.
+    """
+    b, w4 = packed.shape
+    r = w4 * 4
+    noff = r - k + 1
+    codes = _unpack2(packed)  # (B, R)
+    onehot = (
+        codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)
+    scores = jax.lax.conv_general_dilated(
+        onehot,
+        pwm_kernel,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (B, Noff, M)
+    m = scores.shape[-1]
+    # N-window detection via cumulative sums of the N indicator
+    n_ind = _unpack1(nbits, r)  # (B, R) 0/1
+    cum = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(n_ind, axis=1)], axis=1
+    )
+    has_n = (cum[:, k:] - cum[:, :-k]) > 0  # (B, Noff)
+    scores = jnp.where(
+        has_n[:, :, None], min_scores[None, None, :], scores
+    )
+    valid = _unpack1(vbits, noff).astype(bool)  # (B, Noff)
+    scores = jnp.where(valid[:, :, None], scores, jnp.int32(-1))
+    # exact per-motif histogram over valid windows
+    flat = scores.reshape(-1, m)
+    m_idx = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[None, :], flat.shape
+    )
+    ok = (flat >= 0).astype(jnp.int32)
+    hist = jnp.zeros((hist_size, m), jnp.int32)
+    hist = hist.at[jnp.clip(flat, 0, hist_size - 1), m_idx].add(ok)
+    # packed hit bits
+    hit = (scores >= cutoffs[None, None, :]) & (scores >= 0)
+    pad = (-noff) % 8
+    hit = jnp.pad(hit, ((0, 0), (0, pad), (0, 0)))
+    hit = hit.reshape(b, -1, 8, m).astype(jnp.uint8)
+    weights = (1 << jnp.arange(8, dtype=jnp.uint8))[None, None, :, None]
+    hitbits = jnp.sum(hit * weights, axis=2).astype(jnp.uint8)
+    return hist, hitbits
+
+
+def unpack_hitbits(hitbits: np.ndarray, noff: int) -> np.ndarray:
+    """Host-side ``(B, ceil(Noff/8), M) -> (B, Noff, M)`` bool."""
+    b, _, m = hitbits.shape
+    bits = np.unpackbits(
+        np.moveaxis(hitbits, 1, 2).reshape(b * m, -1),
+        axis=1,
+        bitorder="little",
+    )[:, :noff]
+    return np.moveaxis(bits.reshape(b, m, noff), 2, 1).astype(bool)

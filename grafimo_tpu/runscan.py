@@ -1,0 +1,332 @@
+"""Production scan engine: run-compressed extraction + device conv scan.
+
+End-to-end flow per (width, regions):
+
+1. host builds runs (``graph/runs.py``) — no window materialisation;
+2. runs are chunked into fixed-length buckets, bit-packed and streamed to
+   the device (``ops/score_runs.py``): the conv kernel scores EVERY
+   stride-1 window on both strands, histograms the integer scores and
+   returns packed hit bits;
+3. host reconstructs metadata (coordinates, haplotype frequency, node
+   path, ref flag) only for hits, computes exact p-values from the Staden
+   table, exact BH q-values from the histogram, and assembles the report.
+
+This is the fast path behind ``findmotif``; the per-window engine
+(``scan.py``) remains as the semantic reference and TSV-compat path.
+"""
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from grafimo_tpu.graph.runs import Run, reconstruct_hit, region_runs
+from grafimo_tpu.graph.sitegraph import SiteGraph
+from grafimo_tpu.models.motif import Motif
+from grafimo_tpu.models.pvalue import PvalueLookup
+from grafimo_tpu.ops.qvalue import qvalues_from_histogram
+from grafimo_tpu.ops.score_runs import (
+    pack_bits,
+    pack_run_seqs,
+    pwms_to_conv_kernel,
+    scan_runs_device,
+    unpack_hitbits,
+)
+from grafimo_tpu.ops.score_jax import reverse_complement_pwm
+from grafimo_tpu.report.results import apply_report_filters, build_results_df
+from grafimo_tpu.utils.constants import RANGE
+
+BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+_SEQ_LUT = np.full(256, 0, dtype=np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _SEQ_LUT[ord(_c)] = _i
+_N_LUT = np.ones(256, dtype=bool)
+for _c in "ACGTacgt":
+    _N_LUT[ord(_c)] = False
+
+
+@dataclass
+class RunChunk:
+    source: Tuple[str, int]  # (region key, run index)
+    chunk_off: int  # offset of this chunk within the run
+
+
+@dataclass
+class DeviceBatch:
+    R: int
+    packed: np.ndarray
+    nbits: np.ndarray
+    vbits: np.ndarray
+    chunks: List[RunChunk]
+
+
+@dataclass
+class RegionRuns:
+    key: str
+    graph: SiteGraph
+    display: str
+    start: int
+    stop: int
+    runs: List[Run]
+
+
+def build_region_runs(
+    graph: SiteGraph,
+    display: str,
+    regions: Sequence[Tuple[int, int]],
+    k: int,
+) -> List[RegionRuns]:
+    out = []
+    for start, stop in regions:
+        key = f"{display}:{start}-{stop}"
+        out.append(
+            RegionRuns(
+                key=key,
+                graph=graph,
+                display=display,
+                start=start,
+                stop=stop,
+                runs=region_runs(graph, start, stop, k),
+            )
+        )
+    return out
+
+
+def batch_runs(
+    region_runs_list: List[RegionRuns], k: int, buckets=BUCKETS
+) -> List[DeviceBatch]:
+    """Chunk + bucket + bit-pack all runs into device-ready batches."""
+    per_bucket: Dict[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray, RunChunk]]] = {}
+    max_r = buckets[-1]
+    stride_base = max_r - k + 1
+    for rr in region_runs_list:
+        for ri, run in enumerate(rr.runs):
+            seq_bytes = np.frombuffer(run.seq.encode("ascii"), np.uint8)
+            codes = _SEQ_LUT[seq_bytes]
+            nmask = _N_LUT[seq_bytes]
+            L = len(run.seq)
+            noff_total = L - k + 1
+            pos = 0
+            while pos < noff_total:
+                take_off = min(stride_base, noff_total - pos)
+                chunk_len = take_off + k - 1
+                r = next(b for b in buckets if b >= chunk_len)
+                c_codes = np.zeros(r, dtype=np.uint8)
+                c_codes[:chunk_len] = codes[pos : pos + chunk_len]
+                c_n = np.zeros(r, dtype=bool)
+                c_n[:chunk_len] = nmask[pos : pos + chunk_len]
+                c_valid = np.zeros(r - k + 1, dtype=bool)
+                c_valid[:take_off] = run.valid[pos : pos + take_off]
+                per_bucket.setdefault(r, []).append(
+                    (c_codes, c_n, c_valid, RunChunk((rr.key, ri), pos))
+                )
+                pos += take_off
+    batches = []
+    for r, rows in per_bucket.items():
+        packed = pack_run_seqs(np.stack([x[0] for x in rows]))
+        nbits = pack_bits(np.stack([x[1] for x in rows]))
+        vbits = pack_bits(np.stack([x[2] for x in rows]))
+        batches.append(
+            DeviceBatch(
+                R=r, packed=packed, nbits=nbits, vbits=vbits,
+                chunks=[x[3] for x in rows],
+            )
+        )
+    return batches
+
+
+@dataclass
+class RunScanResult:
+    hists: np.ndarray  # (hist_size, M) int64
+    hits: List[Tuple[Tuple[str, int], int, int]]  # (source, offset, col)
+    n_windows_per_col: np.ndarray
+    scoring_time: float = 0.0
+
+
+def scan_batches(
+    batches: List[DeviceBatch],
+    pwm_kernel: np.ndarray,
+    min_scores: np.ndarray,
+    cutoffs: np.ndarray,
+    k: int,
+    hist_size: int,
+    collect_hits: bool = True,
+) -> RunScanResult:
+    m = pwm_kernel.shape[-1]
+    hist_total = np.zeros((hist_size, m), dtype=np.int64)
+    hits: List[Tuple[Tuple[str, int], int, int]] = []
+    t0 = time.perf_counter()
+    pending = []
+    for batch in batches:
+        hist, hitbits = scan_runs_device(
+            batch.packed, batch.nbits, batch.vbits,
+            pwm_kernel, min_scores.astype(np.int32),
+            cutoffs.astype(np.int32), k, hist_size,
+        )
+        pending.append((batch, hist, hitbits))
+    for batch, hist, hitbits in pending:
+        hist_total += np.asarray(hist).astype(np.int64)
+        if collect_hits:
+            noff = batch.R - k + 1
+            mask = unpack_hitbits(np.asarray(hitbits), noff)
+            rows, offs, cols = np.nonzero(mask)
+            for row, off, col in zip(
+                rows.tolist(), offs.tolist(), cols.tolist()
+            ):
+                chunk = batch.chunks[row]
+                hits.append((chunk.source, chunk.chunk_off + off, col))
+    dt = time.perf_counter() - t0
+    return RunScanResult(
+        hists=hist_total,
+        hits=hits,
+        n_windows_per_col=hist_total.sum(axis=0),
+        scoring_time=dt,
+    )
+
+
+_RC = str.maketrans("ACGTN", "TGCAN")
+
+
+def _score_window_host(seq: str, score_matrix: np.ndarray, min_score: int) -> int:
+    """Exact integer re-scoring of one window on host (for report rows)."""
+    total = 0
+    for i, ch in enumerate(seq):
+        c = "ACGT".find(ch.upper())
+        if c < 0:
+            return int(min_score)
+        total += int(score_matrix[c, i])
+    return total
+
+
+def compute_results_runs(
+    motifs: List[Motif],
+    region_runs_list: List[RegionRuns],
+    threshold: float = 1e-4,
+    no_qvalue: bool = False,
+    qval_t: bool = False,
+    no_reverse: bool = False,
+    recomb: bool = False,
+    verbose: bool = False,
+) -> Dict[str, pd.DataFrame]:
+    """Scan once, report per motif.  All motifs must share one width."""
+    k = motifs[0].width
+    assert all(mt.width == k for mt in motifs)
+    hist_size = RANGE * k + 1
+    # PWM columns: per motif forward (+ reverse-complement unless
+    # no_reverse); column -> (motif index, strand)
+    mats, col_meta = [], []
+    for mi, mt in enumerate(motifs):
+        mats.append(mt.score_matrix)
+        col_meta.append((mi, "+"))
+        if not no_reverse:
+            mats.append(reverse_complement_pwm(mt.score_matrix))
+            col_meta.append((mi, "-"))
+    pwm_kernel = pwms_to_conv_kernel(mats)
+    min_scores = np.array(
+        [motifs[mi].min_score for mi, _ in col_meta], dtype=np.int32
+    )
+    lookups = [PvalueLookup(mt.pval_table) for mt in motifs]
+
+    batches = batch_runs(region_runs_list, k)
+    by_key = {rr.key: rr for rr in region_runs_list}
+
+    if qval_t:
+        # q-thresholding needs the global histogram first: hist-only pass,
+        # then derive integer cutoffs from the q-values per score bin
+        pre = scan_batches(
+            batches, pwm_kernel, min_scores,
+            np.full(len(col_meta), hist_size, dtype=np.int32),
+            k, hist_size, collect_hits=False,
+        )
+        cutoffs = []
+        for ci, (mi, _) in enumerate(col_meta):
+            hist_m = _motif_hist(pre.hists, col_meta, mi)
+            qmap = qvalues_from_histogram(hist_m, lookups[mi].pvalues)
+            passing = [s for s, q in qmap.items() if q < threshold]
+            cutoffs.append(min(passing) if passing else hist_size)
+        cutoffs = np.array(cutoffs, dtype=np.int32)
+    else:
+        cutoffs = np.array(
+            [lookups[mi].score_cutoff(threshold) for mi, _ in col_meta],
+            dtype=np.int32,
+        )
+
+    res = scan_batches(
+        batches, pwm_kernel, min_scores, cutoffs, k, hist_size,
+        collect_hits=True,
+    )
+    if verbose:
+        n_win = int(res.n_windows_per_col.max(initial=0))
+        print(
+            f"run scan: {len(batches)} device batches, "
+            f"{n_win} windows/strand, {len(res.hits)} raw hits "
+            f"({res.scoring_time:.2f}s)"
+        )
+
+    out: Dict[str, pd.DataFrame] = {}
+    for mi, motif in enumerate(motifs):
+        hist_m = _motif_hist(res.hists, col_meta, mi)
+        qmap = (
+            None
+            if no_qvalue
+            else qvalues_from_histogram(hist_m, lookups[mi].pvalues)
+        )
+        rows = {
+            "seqnames": [], "starts": [], "stops": [], "strands": [],
+            "scores": [], "seqs": [], "freqs": [], "refs": [],
+        }
+        for (source, g_off, col) in res.hits:
+            cmi, strand = col_meta[col]
+            if cmi != mi:
+                continue
+            rr = by_key[source[0]]
+            run = rr.runs[source[1]]
+            hit = reconstruct_hit(rr.graph, run, g_off, k)
+            if strand == "+":
+                seq, start, stop = hit.seq, hit.begin, hit.end
+                score = _score_window_host(
+                    hit.seq, motif.score_matrix, motif.min_score
+                )
+            else:
+                seq = hit.seq.translate(_RC)[::-1]
+                start, stop = hit.end, hit.begin
+                score = _score_window_host(
+                    seq, motif.score_matrix, motif.min_score
+                )
+            rows["seqnames"].append(rr.key)
+            rows["starts"].append(start)
+            rows["stops"].append(stop)
+            rows["strands"].append(strand)
+            rows["scores"].append(score)
+            rows["seqs"].append(seq)
+            rows["freqs"].append(hit.freq)
+            rows["refs"].append("ref" if hit.is_ref else "non.ref")
+        scores_int = np.array(rows["scores"], dtype=np.int64)
+        pvalues = (
+            lookups[mi].pvalues(scores_int)
+            if len(scores_int)
+            else np.zeros(0)
+        )
+        qvalues = None
+        if qmap is not None:
+            qvalues = np.array(
+                [qmap.get(int(s), 1.0) for s in scores_int], dtype=np.float64
+            )
+        df = build_results_df(
+            motif,
+            rows["seqnames"], rows["starts"], rows["stops"], rows["strands"],
+            scores_int, pvalues, rows["seqs"], rows["freqs"], rows["refs"],
+            qvalues=qvalues,
+        )
+        out[motif.motif_id] = apply_report_filters(
+            df, threshold, qval_t, recomb
+        )
+    return out
+
+
+def _motif_hist(hists: np.ndarray, col_meta, mi: int) -> np.ndarray:
+    """Sum the histogram columns belonging to one motif (both strands)."""
+    cols = [ci for ci, (m, _) in enumerate(col_meta) if m == mi]
+    return hists[:, cols].sum(axis=1)

@@ -16,7 +16,7 @@ through the TPU scoring path, reports written per motif.
 
 import os
 import time
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from grafimo_tpu.config import BuildVG, Findmotif
 from grafimo_tpu.errors import GraphError
@@ -156,42 +156,80 @@ def findmotif(workflow: Findmotif) -> List[str]:
     graphs = _load_graphs(workflow, list(regions.keys()))
     # one extraction pass per distinct width, shared by all motifs of that
     # width (reference grafimo.py:176)
-    batches_per_width = {}
-    for width in sorted(motif_set.widths):
-        batches = []
-        t0 = time.time()
-        for chrom, (display, graph) in graphs.items():
-            for start, stop in regions[chrom]:
-                batch = extract_region(
-                    graph, start, stop, width, chrom_display=display,
-                    both_strands=True,
+    results: Dict[str, object] = {}
+    if workflow.engine == "runs":
+        # production path: run-compressed extraction + device conv scan,
+        # all same-width motifs in one pass
+        from grafimo_tpu.runscan import build_region_runs, compute_results_runs
+
+        for width in sorted(motif_set.widths):
+            t0 = time.time()
+            region_runs_list = []
+            for chrom, (display, graph) in graphs.items():
+                region_runs_list.extend(
+                    build_region_runs(graph, display, regions[chrom], width)
                 )
-                if len(batch):
-                    batches.append(batch)
-        batches_per_width[width] = batches
-        if workflow.verbose:
-            n = sum(len(b) for b in batches)
-            print(
-                f"width {width}: extracted {n} candidate windows in "
-                f"{time.time() - t0:.2f}s"
+            if workflow.verbose:
+                n_runs = sum(len(r.runs) for r in region_runs_list)
+                n_win = sum(
+                    run.n_windows()
+                    for r in region_runs_list
+                    for run in r.runs
+                )
+                print(
+                    f"width {width}: {n_runs} runs / {n_win} windows per "
+                    f"strand in {time.time() - t0:.2f}s"
+                )
+            dfs = compute_results_runs(
+                motif_set.by_width(width),
+                region_runs_list,
+                threshold=workflow.threshold,
+                no_qvalue=workflow.no_qvalue,
+                qval_t=workflow.qval_t,
+                no_reverse=workflow.no_reverse,
+                recomb=workflow.recomb,
+                verbose=workflow.verbose,
             )
-    # score per motif
+            results.update(dfs)
+    else:  # per-window reference engine
+        batches_per_width = {}
+        for width in sorted(motif_set.widths):
+            batches = []
+            t0 = time.time()
+            for chrom, (display, graph) in graphs.items():
+                for start, stop in regions[chrom]:
+                    batch = extract_region(
+                        graph, start, stop, width, chrom_display=display,
+                        both_strands=True,
+                    )
+                    if len(batch):
+                        batches.append(batch)
+            batches_per_width[width] = batches
+            if workflow.verbose:
+                n = sum(len(b) for b in batches)
+                print(
+                    f"width {width}: extracted {n} candidate windows in "
+                    f"{time.time() - t0:.2f}s"
+                )
+        for motif in motif_set:
+            stats = ScanStats()
+            results[motif.motif_id] = compute_results(
+                motif,
+                batches_per_width[motif.width],
+                threshold=workflow.threshold,
+                no_qvalue=workflow.no_qvalue,
+                qval_t=workflow.qval_t,
+                no_reverse=workflow.no_reverse,
+                recomb=workflow.recomb,
+                stats=stats,
+            )
+            print(f"Scanned sequences:\t{stats.seqs_scanned}")
+            print(f"Scanned nucleotides:\t{stats.nucs_scanned}")
+    # write / print reports per motif
     outdirs = []
     chrom_graphs = {d: g for (d, g) in graphs.values()}
     for motif in motif_set:
-        stats = ScanStats()
-        df = compute_results(
-            motif,
-            batches_per_width[motif.width],
-            threshold=workflow.threshold,
-            no_qvalue=workflow.no_qvalue,
-            qval_t=workflow.qval_t,
-            no_reverse=workflow.no_reverse,
-            recomb=workflow.recomb,
-            stats=stats,
-        )
-        print(f"Scanned sequences:\t{stats.seqs_scanned}")
-        print(f"Scanned nucleotides:\t{stats.nucs_scanned}")
+        df = results[motif.motif_id]
         if workflow.text_only:
             print_results(df)
         else:

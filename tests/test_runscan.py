@@ -1,0 +1,96 @@
+"""The run-scan production engine must reproduce the per-window reference
+path bit for bit."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from grafimo_tpu.graph.extract import extract_region
+from grafimo_tpu.graph.sitegraph import build_graph
+from grafimo_tpu.io.fasta import read_fasta
+from grafimo_tpu.io.vcf import iter_vcf_records
+from grafimo_tpu.models.parse import load_motifs
+from grafimo_tpu.runscan import build_region_runs, compute_results_runs
+from grafimo_tpu.scan import compute_results
+from grafimo_tpu.utils.constants import UNIF
+
+
+@pytest.fixture(scope="module")
+def toy_graph(input_dir):
+    seqs = read_fasta(str(input_dir / "test.fa"))
+    records = list(iter_vcf_records(str(input_dir / "test.vcf.gz"), "x"))
+    return build_graph("x", seqs["x"], records)
+
+
+@pytest.fixture(scope="module")
+def ctcf(input_dir):
+    return load_motifs(str(input_dir / "MA0139.1.meme"), UNIF, 0.1, False)[0]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(
+        ["p-value", "start", "stop", "strand", "matched_sequence"]
+    ).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(threshold=1.0, recomb=True),
+        dict(threshold=1.0, recomb=True, no_reverse=True),
+        dict(threshold=1.0, recomb=True, no_qvalue=True),
+        dict(threshold=0.05, recomb=True),
+        dict(threshold=0.95, recomb=True, qval_t=True),
+        dict(threshold=0.96, recomb=False, qval_t=True),
+    ],
+)
+def test_runscan_matches_window_path(toy_graph, ctcf, kwargs):
+    # reference path: materialised windows through scan.compute_results
+    batch = extract_region(
+        toy_graph, 0, 50, 19, chrom_display="x",
+        both_strands=not kwargs.get("no_reverse", False),
+    )
+    want = compute_results(ctcf, [batch], **kwargs)
+    # production path: run-compressed device scan
+    rr = build_region_runs(toy_graph, "x", [(0, 50)], 19)
+    got = compute_results_runs([ctcf], rr, **kwargs)[ctcf.motif_id]
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_exact=True)
+
+
+def test_runscan_multi_motif(toy_graph, input_dir):
+    """Several same-width motifs scanned in a single device pass."""
+    m1 = load_motifs(str(input_dir / "MA0139.1.meme"), UNIF, 0.1, False)[0]
+    m2 = load_motifs(str(input_dir / "MA0139.1.jaspar"), UNIF, 0.1, False)[0]
+    m2.motif_id = "MA0139.1-jaspar"
+    rr = build_region_runs(toy_graph, "x", [(0, 50)], 19)
+    dfs = compute_results_runs([m1, m2], rr, threshold=1.0, recomb=True)
+    assert set(dfs) == {"MA0139.1", "MA0139.1-jaspar"}
+    batch = extract_region(toy_graph, 0, 50, 19, chrom_display="x")
+    want1 = compute_results(m1, [batch], threshold=1.0, recomb=True)
+    pd.testing.assert_frame_equal(
+        _canon(dfs["MA0139.1"]), _canon(want1), check_exact=True
+    )
+
+
+def test_runscan_n_handling(ctcf):
+    """Windows covering N bases score ``min_score`` whose p-value is 1.0,
+    so they can never pass ``p < threshold`` — exactly the reference
+    behaviour (``score_sequences.py:376-378`` + ``resultsTmp.py:307``).
+    The run path must agree with the window path on an N-containing
+    sequence."""
+    seq = "ACGT" * 20 + "N" + "ACGT" * 20
+    graph = build_graph("n", seq, [])
+    rr = build_region_runs(graph, "n", [(0, len(seq))], 19)
+    got = compute_results_runs(
+        [ctcf], rr, threshold=1.0, recomb=True
+    )[ctcf.motif_id]
+    assert not got["matched_sequence"].str.contains("N").any()
+    batch = extract_region(graph, 0, len(seq), 19, chrom_display="n")
+    want = compute_results(ctcf, [batch], threshold=1.0, recomb=True)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_exact=True)
+    # histograms count the N windows at min_score even though they are
+    # never reported
+    from grafimo_tpu.models.pvalue import PvalueLookup
+
+    lookup = PvalueLookup(ctcf.pval_table)
+    assert lookup.pvalue(ctcf.min_score) == 1.0
