@@ -1,19 +1,21 @@
-"""Single-chip scoring throughput benchmark.
+"""Single-chip scan throughput benchmark.
 
 Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
 
-Metric: windows scored per second per chip — each "window" is one k-length
-candidate sequence scored on BOTH strands (forward + reverse-complement PWM
-in a single contraction) with the exact integer score histogram and
-device-side hit thresholding included, and with fresh host batches streamed
-to the device every iteration (the production pattern: the extractor feeds
-packed code tensors from host RAM).
+Measures the production scoring path (the run-compressed engine behind
+``findmotif``): bit-packed run batches are streamed host->device each
+iteration, the device expands and scores EVERY stride-1 window on both
+strands (conv over the one-hot sequence with forward + reverse-complement
+PWM columns), builds the exact integer score histogram, applies the
+integer p-value cutoff, and the packed hit bits + histogram are fetched
+back to the host.  A "window" is one strand-scored candidate window — the
+unit matching one row of the reference's extraction TSVs (its
+``scanned sequences`` counter, ``score_sequences.py:202``).
 
-Baseline: the reference (GRAFIMO, PLOS Comp Bio 2021 data shipped in-repo,
-see BASELINE.md) scans the CTCF x 3000-ENCODE-regions x 1KGP-pangenome
-workload in 942.3 s at 16 threads; with ~9e5 bp of scanned sequence, both
-strands and haplotype-distinct windows that is on the order of 5e3
-windows/s/host end to end.  ``vs_baseline`` divides by that 5e3 figure.
+Baseline: the reference (GRAFIMO, PLOS Comp Bio 2021 numbers shipped
+in-repo, see BASELINE.md) needs 942.3 s at 16 threads for the CTCF x
+3000-ENCODE-regions x 1KGP-pangenome scan — order 5e3 scanned windows/s
+per host.  ``vs_baseline`` divides by that 5e3 figure.
 """
 
 import json
@@ -24,15 +26,28 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
 
+    # persistent compile cache: absorbs the TPU tunnel's slow/remote
+    # first-compile across bench invocations
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from grafimo_tpu.models.parse import load_motifs
-    from grafimo_tpu.ops.pack import pack_codes
-    from grafimo_tpu.ops.score_jax import (
-        hist_size_for_width,
-        pwms_to_flat,
-        reverse_complement_pwm,
-        score_and_histogram_packed,
+    from grafimo_tpu.ops.score_jax import reverse_complement_pwm
+    from grafimo_tpu.ops.score_runs import (
+        pack_bits,
+        pack_run_seqs,
+        pwms_to_conv_kernel,
+        scan_runs_device,
     )
     from grafimo_tpu.utils.constants import UNIF
 
@@ -41,39 +56,65 @@ def main() -> None:
         "tests/data/input/MA0139.1.meme", UNIF, 0.1, False
     )[0]
     k = motif.width
-    pwm = pwms_to_flat(
+    hist_size = 1000 * k + 1
+    kernel = pwms_to_conv_kernel(
         [motif.score_matrix, reverse_complement_pwm(motif.score_matrix)]
     )
     mins = np.array([motif.min_score] * 2, dtype=np.int32)
-    hs = hist_size_for_width(k)
+    # integer cutoff equivalent to the default p < 1e-4 threshold
+    from grafimo_tpu.models.pvalue import PvalueLookup
 
-    B = 1 << 21  # windows per device batch
-    iters = 16
+    cutoff = PvalueLookup(motif.pval_table).score_cutoff(1e-4)
+    cuts = np.array([cutoff] * 2, dtype=np.int32)
+
+    B, R = 512, 2048  # runs per batch x run length
+    noff = R - k + 1
+    iters = 24
     rng = np.random.default_rng(0)
-    # pre-generate host batches in the extractor's streaming format (2-bit
-    # packed codes + flag byte); streaming them each iteration keeps the
-    # host->device transfer inside the timing
-    host_batches = [
-        pack_codes(rng.integers(0, 4, (B, k)).astype(np.uint8))
-        for _ in range(4)
-    ]
+    batches = []
+    for _ in range(iters):
+        codes = rng.integers(0, 4, (B, R)).astype(np.uint8)
+        batches.append(
+            (
+                pack_run_seqs(codes),
+                pack_bits(np.zeros((B, R), bool)),
+                pack_bits(np.ones((B, noff), bool)),
+            )
+        )
 
-    def step(packed, flags):
-        return score_and_histogram_packed(packed, flags, pwm, mins, k, hs)
+    from grafimo_tpu.ops.score_runs import scan_runs_device_acc
+    import jax.numpy as jnp
 
-    # warmup / compile
-    s, h = step(*host_batches[0])
-    jax.block_until_ready((s, h))
+    # warmup / compile (also absorbs the tunnel's first-fetch stall)
+    hist_acc = jnp.zeros((hist_size, 2), jnp.int32)
+    hist_acc, hb, nh = scan_runs_device_acc(
+        hist_acc, *batches[0], kernel, mins, cuts, k, hist_size
+    )
+    np.asarray(hb), np.asarray(nh)
+    np.asarray(hist_acc.block_until_ready())
 
     t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        s, h = step(*host_batches[i % len(host_batches)])
-        outs.append(h)
-    jax.block_until_ready(outs)
+    pending = []
+    for i in range(1, iters):
+        # the production pattern (runscan.scan_batches): device-resident
+        # histogram accumulation, async per-batch hit counts, hit bits
+        # fetched only for batches that contain hits
+        hist_acc, hb, nh = scan_runs_device_acc(
+            hist_acc, *batches[i], kernel, mins, cuts, k, hist_size
+        )
+        nh.copy_to_host_async()
+        pending.append((hb, nh))
+    hist_total = np.asarray(hist_acc).astype(np.int64)
+    n_hits = 0
+    hit_bytes = 0
+    for hb, nh in pending:
+        if int(nh) > 0:
+            n_hits += int(nh)
+            hit_bytes += np.asarray(hb).nbytes
     dt = time.perf_counter() - t0
 
-    windows_per_s = B * iters / dt
+    n_windows = B * noff * 2 * (iters - 1)  # both strands
+    windows_per_s = n_windows / dt
     baseline = 5e3  # reference windows/s/host at 16 threads (BASELINE.md)
     print(
         json.dumps(
@@ -85,9 +126,12 @@ def main() -> None:
             }
         )
     )
+    up_bytes = sum(a.nbytes for a in batches[0]) * (iters - 1)
     print(
-        f"# device={dev.device_kind} batch={B} iters={iters} "
-        f"time={dt:.3f}s k={k} strands=2",
+        f"# device={dev.device_kind} runs/batch={B} R={R} k={k} "
+        f"iters={iters - 1} time={dt:.3f}s "
+        f"up={up_bytes / dt / 1e6:.0f}MB/s "
+        f"hist_checksum={int(hist_total.sum())}",
         file=sys.stderr,
     )
 

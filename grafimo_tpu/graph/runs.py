@@ -52,6 +52,10 @@ class Run:
     site_info: List[Tuple[int, int, int, int]]
     region_start: int
     region_end: int
+    # identity within the region's run decomposition: (cluster index,
+    # combination index); (-1, 0) = backbone run.  Lets hits reference a
+    # run without the Run object being materialised (C++ fast path).
+    ref: Tuple[int, int] = (-1, 0)
 
     def __len__(self) -> int:
         return len(self.seq)
@@ -271,14 +275,51 @@ def region_runs(
     bb = _build_backbone_run(graph, clusters, region_start, region_end, k)
     if bb is not None:
         runs.append(bb)
-    for cluster in clusters:
-        for combo in _combinations(cluster):
+    for c_idx, cluster in enumerate(clusters):
+        for x_idx, combo in enumerate(_combinations(cluster)):
             r = _build_cluster_run(
                 graph, cluster, combo, region_start, region_end, k
             )
             if r is not None:
+                r.ref = (c_idx, x_idx)
                 runs.append(r)
     return runs
+
+
+def nth_combination(cluster: Sequence[Site], idx: int) -> List[int]:
+    """The ``idx``-th combination in :func:`_combinations` order (last
+    site varies fastest) — the shared contract with the native engine."""
+    combo = []
+    for s in reversed(cluster):
+        n = len(s.alleles)
+        combo.append(idx % n)
+        idx //= n
+    return list(reversed(combo))
+
+
+def build_single_run(
+    graph: SiteGraph,
+    region_start: int,
+    region_end: int,
+    k: int,
+    ref: Tuple[int, int],
+) -> Optional[Run]:
+    """Materialise one run identified by ``(cluster_idx, combo_idx)`` —
+    used to reconstruct hit metadata lazily when the scan payload came
+    from the native engine."""
+    clusters = cluster_sites(graph, region_start, region_end, k)
+    c_idx, x_idx = ref
+    if c_idx < 0:
+        return _build_backbone_run(
+            graph, clusters, region_start, region_end, k
+        )
+    combo = nth_combination(clusters[c_idx], x_idx)
+    run = _build_cluster_run(
+        graph, clusters[c_idx], combo, region_start, region_end, k
+    )
+    if run is not None:
+        run.ref = ref
+    return run
 
 
 def reconstruct_hit(graph: SiteGraph, run: Run, offset: int, k: int) -> RunHit:

@@ -61,14 +61,146 @@ def _lib() -> ctypes.CDLL:
             except Exception as e:  # pragma: no cover
                 _LIB_ERR = e
                 raise
-            lib.seq_tail_sums.argtypes = [
-                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_double),
-            ]
+            c = ctypes
+            u8p, i64p, i32p, f64p = (
+                c.POINTER(c.c_uint8), c.POINTER(c.c_int64),
+                c.POINTER(c.c_int32), c.POINTER(c.c_double),
+            )
+            lib.seq_tail_sums.argtypes = [f64p, c.c_int64, i64p, c.c_int64, f64p]
             lib.seq_tail_sums.restype = None
+            lib.gt_build_runs.argtypes = [
+                u8p, c.c_int64, c.c_int64, i64p, i64p, i64p, i32p,
+                i64p, i64p, u8p, c.c_int64, c.c_int64, c.c_int64,
+                c.c_int64, i32p,
+            ]
+            lib.gt_build_runs.restype = c.c_void_p
+            lib.gt_runs_count.argtypes = [c.c_void_p]
+            lib.gt_runs_count.restype = c.c_int64
+            lib.gt_runs_codes_len.argtypes = [c.c_void_p]
+            lib.gt_runs_codes_len.restype = c.c_int64
+            lib.gt_runs_valid_len.argtypes = [c.c_void_p]
+            lib.gt_runs_valid_len.restype = c.c_int64
+            lib.gt_runs_export.argtypes = [
+                c.c_void_p, u8p, u8p, i64p, i32p, i32p,
+            ]
+            lib.gt_runs_export.restype = None
+            lib.gt_runs_free.argtypes = [c.c_void_p]
+            lib.gt_runs_free.restype = None
             _LIB = lib
     return _LIB
+
+
+_CODE_LUT = np.full(256, 4, dtype=np.uint8)
+for _i, _ch in enumerate("ACGT"):
+    _CODE_LUT[ord(_ch)] = _i
+    _CODE_LUT[ord(_ch.lower())] = _i
+
+
+def _flatten_graph(graph):
+    """Flat array view of a SiteGraph for the C++ engine (cached on the
+    graph object)."""
+    flat = getattr(graph, "_native_flat_cache", None)
+    if flat is not None:
+        return flat
+    seq = _CODE_LUT[np.frombuffer(graph.seq.encode("ascii"), np.uint8)]
+    site_start, site_end, site_aoff, site_nall = [], [], [], []
+    allele_off, allele_len = [], []
+    blob_parts = []
+    blob_pos = 0
+    for s in graph.sites:
+        site_start.append(s.ref_start)
+        site_end.append(s.ref_end)
+        site_aoff.append(len(allele_off))
+        site_nall.append(len(s.alleles))
+        for a in s.alleles:
+            codes = _CODE_LUT[np.frombuffer(a.encode("ascii"), np.uint8)]
+            allele_off.append(blob_pos)
+            allele_len.append(len(codes))
+            blob_parts.append(codes)
+            blob_pos += len(codes)
+    flat = dict(
+        seq=np.ascontiguousarray(seq),
+        site_start=np.array(site_start, dtype=np.int64),
+        site_end=np.array(site_end, dtype=np.int64),
+        site_aoff=np.array(site_aoff, dtype=np.int64),
+        site_nall=np.array(site_nall, dtype=np.int32),
+        allele_off=np.array(allele_off, dtype=np.int64),
+        allele_len=np.array(allele_len, dtype=np.int64),
+        blob=(
+            np.concatenate(blob_parts)
+            if blob_parts
+            else np.zeros(0, dtype=np.uint8)
+        ),
+    )
+    graph._native_flat_cache = flat
+    return flat
+
+
+def build_region_runs_native(graph, region_start, region_end, k,
+                             max_combos=1 << 16):
+    """C++ run builder: returns the region's scan payloads (RunPayload
+    list), mirroring ``graph/runs.region_runs`` output order."""
+    import ctypes as c
+
+    from grafimo_tpu.runscan import RunPayload
+
+    lib = _lib()
+    flat = _flatten_graph(graph)
+    u8p = c.POINTER(c.c_uint8)
+    i64p = c.POINTER(c.c_int64)
+    i32p = c.POINTER(c.c_int32)
+    status = np.zeros(1, dtype=np.int32)
+    handle = lib.gt_build_runs(
+        flat["seq"].ctypes.data_as(u8p), c.c_int64(flat["seq"].size),
+        c.c_int64(len(flat["site_start"])),
+        flat["site_start"].ctypes.data_as(i64p),
+        flat["site_end"].ctypes.data_as(i64p),
+        flat["site_aoff"].ctypes.data_as(i64p),
+        flat["site_nall"].ctypes.data_as(i32p),
+        flat["allele_off"].ctypes.data_as(i64p),
+        flat["allele_len"].ctypes.data_as(i64p),
+        flat["blob"].ctypes.data_as(u8p),
+        c.c_int64(region_start), c.c_int64(region_end), c.c_int64(k),
+        c.c_int64(max_combos),
+        status.ctypes.data_as(i32p),
+    )
+    if not handle:
+        raise RuntimeError("gt_build_runs failed")
+    try:
+        if int(status[0]) != 0:
+            raise OverflowError(
+                "allele combination count exceeds the native cap"
+            )
+        n = lib.gt_runs_count(handle)
+        codes = np.empty(lib.gt_runs_codes_len(handle), dtype=np.uint8)
+        valid = np.empty(lib.gt_runs_valid_len(handle), dtype=np.uint8)
+        run_len = np.empty(n, dtype=np.int64)
+        cluster_idx = np.empty(n, dtype=np.int32)
+        combo_idx = np.empty(n, dtype=np.int32)
+        lib.gt_runs_export(
+            handle,
+            codes.ctypes.data_as(u8p), valid.ctypes.data_as(u8p),
+            run_len.ctypes.data_as(i64p),
+            cluster_idx.ctypes.data_as(i32p),
+            combo_idx.ctypes.data_as(i32p),
+        )
+    finally:
+        lib.gt_runs_free(handle)
+    payloads = []
+    co = vo = 0
+    for i in range(int(n)):
+        ln = int(run_len[i])
+        noff = ln - k + 1
+        payloads.append(
+            RunPayload(
+                codes=codes[co : co + ln],
+                valid=valid[vo : vo + noff].astype(bool),
+                ref=(int(cluster_idx[i]), int(combo_idx[i])),
+            )
+        )
+        co += ln
+        vo += noff
+    return payloads
 
 
 def seq_tail_sums(arr: np.ndarray, starts: np.ndarray) -> np.ndarray:

@@ -16,7 +16,272 @@
 #include <vector>
 #include <algorithm>
 
+namespace {
+
+// ---------------------------------------------------------------------------
+// Run-compressed window extraction (mirrors grafimo_tpu/graph/runs.py —
+// the python implementation is the semantic reference; this is the
+// production-speed engine, differentially tested against it).
+// ---------------------------------------------------------------------------
+
+struct SiteView {
+  int64_t start, end;       // trimmed ref span (end == start: insertion)
+  int64_t allele_off;       // first allele index
+  int32_t n_alleles;        // alleles incl. ref (index 0)
+};
+
+struct RunOut {
+  std::vector<uint8_t> codes;   // 0..3, 4 = N
+  std::vector<uint8_t> valid;   // one byte per window offset
+  int32_t cluster_idx;          // -1 = backbone
+  int32_t combo_idx;
+};
+
+struct RunSet {
+  std::vector<RunOut> runs;
+  int32_t status = 0;  // 0 ok; 1 combo overflow
+};
+
+struct GraphView {
+  const uint8_t* seq;
+  int64_t L;
+  std::vector<SiteView> sites;
+  const int64_t* allele_off;
+  const int64_t* allele_len;
+  const uint8_t* allele_blob;
+};
+
+int64_t site_deletable(const GraphView& g, const SiteView& s) {
+  int64_t span = s.end - s.start;
+  int64_t min_len = INT64_MAX;
+  for (int32_t a = 0; a < s.n_alleles; ++a)
+    min_len = std::min(min_len, g.allele_len[s.allele_off + a]);
+  return std::max<int64_t>(0, span - min_len);
+}
+
+// build one (cluster, combination) run; returns false if it has no valid
+// window (mirrors _build_cluster_run, runs.py)
+bool build_cluster_run(const GraphView& g,
+                       const std::vector<int>& cluster,  // site indices
+                       const std::vector<int>& combo,
+                       int64_t region_start, int64_t region_end, int64_t k,
+                       RunOut* out) {
+  const SiteView& first = g.sites[cluster.front()];
+  const SiteView& last = g.sites[cluster.back()];
+  int64_t flank_l = std::max<int64_t>(0, first.start - (k - 1));
+  int64_t flank_r = std::min<int64_t>(g.L, last.end + (k - 1));
+
+  std::vector<uint8_t>& codes = out->codes;
+  codes.clear();
+  std::vector<int64_t> pos_begin;
+  std::vector<int64_t> pos_end;  // pos_end[j+1] = end coord after base j
+  pos_end.push_back(flank_l);
+  // per cluster site: determined interval [lo, hi] and allele index
+  struct Det { int64_t lo, hi; int a_idx; };
+  std::vector<Det> det;
+
+  auto emit_ref = [&](int64_t lo, int64_t hi) {
+    for (int64_t c = lo; c < hi; ++c) {
+      codes.push_back(g.seq[c]);
+      pos_begin.push_back(c);
+      pos_end.push_back(c + 1);
+    }
+  };
+
+  emit_ref(flank_l, first.start);
+  int64_t cursor = first.start;
+  for (size_t i = 0; i < cluster.size(); ++i) {
+    const SiteView& s = g.sites[cluster[i]];
+    int a_idx = combo[i];
+    emit_ref(cursor, s.start);
+    int64_t alen = g.allele_len[s.allele_off + a_idx];
+    const uint8_t* aseq = g.allele_blob + g.allele_off[s.allele_off + a_idx];
+    int64_t a_start = (int64_t)codes.size();
+    if (alen == 0) {
+      det.push_back({a_start - k + 1, a_start - 1, a_idx});
+    } else {
+      for (int64_t o = 0; o < alen; ++o) {
+        codes.push_back(aseq[o]);
+        pos_begin.push_back(std::min(s.start + o, s.end));
+        pos_end.push_back(o + 1 == alen ? s.end
+                                        : std::min(s.start + o + 1, s.end));
+      }
+      det.push_back({a_start - k + 1, a_start + alen - 1, a_idx});
+    }
+    cursor = s.end;
+  }
+  emit_ref(cursor, flank_r);
+
+  int64_t Lr = (int64_t)codes.size();
+  if (Lr < k) return false;
+  int64_t noff = Lr - k + 1;
+  std::vector<uint8_t>& valid = out->valid;
+  valid.assign(noff, 1);
+  std::vector<uint8_t> any_det(noff, 0);
+  for (const Det& d : det) {
+    int64_t lo = std::max<int64_t>(d.lo, 0);
+    int64_t hi = std::min<int64_t>(d.hi, noff - 1);
+    for (int64_t o = lo; o <= hi; ++o) any_det[o] = 1;
+    if (d.a_idx != 0) {
+      for (int64_t o = 0; o < noff; ++o)
+        if (o < lo || o > hi) valid[o] = 0;
+      if (lo > hi) return false;  // non-ref choice never determined
+    }
+  }
+  bool any = false;
+  for (int64_t o = 0; o < noff; ++o) {
+    if (!any_det[o]) valid[o] = 0;
+    if (pos_begin[o] < region_start) valid[o] = 0;
+    if (pos_end[o + k] > region_end) valid[o] = 0;
+    any |= (valid[o] != 0);
+  }
+  return any;
+}
+
+bool build_backbone_run(const GraphView& g,
+                        const std::vector<std::vector<int>>& clusters,
+                        int64_t region_start, int64_t region_end, int64_t k,
+                        RunOut* out) {
+  int64_t lo = std::max<int64_t>(0, region_start);
+  int64_t hi = std::min<int64_t>(g.L, region_end);
+  int64_t Lr = hi - lo;
+  if (Lr < k) return false;
+  int64_t noff = Lr - k + 1;
+  out->codes.assign(g.seq + lo, g.seq + hi);
+  out->valid.assign(noff, 1);
+  bool any = false;
+  for (const auto& cl : clusters) {
+    for (int si : cl) {
+      const SiteView& s = g.sites[si];
+      // offsets (begin coords) are lo + o
+      int64_t d_lo, d_hi;
+      if (s.end > s.start) {
+        d_lo = s.start - k + 1 - lo;   // o + k > s.start
+        d_hi = s.end - 1 - lo;         // o < s.end
+      } else {
+        d_lo = s.start - k + 1 - lo;   // o + k > s.start
+        d_hi = s.start - 1 - lo;       // o < s.start
+      }
+      d_lo = std::max<int64_t>(d_lo, 0);
+      d_hi = std::min<int64_t>(d_hi, noff - 1);
+      for (int64_t o = d_lo; o <= d_hi; ++o) out->valid[o] = 0;
+    }
+  }
+  for (int64_t o = 0; o < noff; ++o) any |= (out->valid[o] != 0);
+  return any;
+}
+
+RunSet* build_runs_impl(const GraphView& g, int64_t region_start,
+                        int64_t region_end, int64_t k, int64_t max_combos) {
+  auto* rs = new RunSet();
+  // cluster decomposition (mirrors cluster_sites, runs.py)
+  std::vector<std::vector<int>> clusters;
+  int64_t d_cur = 0;
+  for (size_t i = 0; i < g.sites.size(); ++i) {
+    const SiteView& s = g.sites[i];
+    if (s.start > region_end || s.end < region_start) continue;
+    if (!clusters.empty() &&
+        s.start - g.sites[clusters.back().back()].end < k + d_cur + 1) {
+      clusters.back().push_back((int)i);
+      d_cur += site_deletable(g, s);
+    } else {
+      clusters.push_back({(int)i});
+      d_cur = site_deletable(g, s);
+    }
+  }
+  RunOut bb;
+  if (build_backbone_run(g, clusters, region_start, region_end, k, &bb)) {
+    bb.cluster_idx = -1;
+    bb.combo_idx = 0;
+    rs->runs.push_back(std::move(bb));
+  }
+  for (size_t ci = 0; ci < clusters.size(); ++ci) {
+    const auto& cl = clusters[ci];
+    int64_t n_combos = 1;
+    for (int si : cl) {
+      n_combos *= g.sites[si].n_alleles;
+      if (n_combos > max_combos) { rs->status = 1; return rs; }
+    }
+    std::vector<int> combo(cl.size(), 0);
+    for (int64_t xi = 0; xi < n_combos; ++xi) {
+      RunOut out;
+      if (build_cluster_run(g, cl, combo, region_start, region_end, k,
+                            &out)) {
+        out.cluster_idx = (int32_t)ci;
+        out.combo_idx = (int32_t)xi;
+        rs->runs.push_back(std::move(out));
+      }
+      // mixed-radix increment, last site fastest (matches
+      // runs._combinations / nth_combination)
+      for (int64_t j = (int64_t)cl.size() - 1; j >= 0; --j) {
+        if (++combo[j] < g.sites[cl[j]].n_alleles) break;
+        combo[j] = 0;
+      }
+    }
+  }
+  return rs;
+}
+
+}  // namespace
+
 extern "C" {
+
+void* gt_build_runs(const uint8_t* seq, int64_t L, int64_t n_sites,
+                    const int64_t* site_start, const int64_t* site_end,
+                    const int64_t* site_allele_off,
+                    const int32_t* site_n_alleles, const int64_t* allele_off,
+                    const int64_t* allele_len, const uint8_t* allele_blob,
+                    int64_t region_start, int64_t region_end, int64_t k,
+                    int64_t max_combos, int32_t* status) {
+  GraphView g;
+  g.seq = seq;
+  g.L = L;
+  g.allele_off = allele_off;
+  g.allele_len = allele_len;
+  g.allele_blob = allele_blob;
+  g.sites.reserve(n_sites);
+  for (int64_t i = 0; i < n_sites; ++i)
+    g.sites.push_back(
+        {site_start[i], site_end[i], site_allele_off[i], site_n_alleles[i]});
+  RunSet* rs = build_runs_impl(g, region_start, region_end, k, max_combos);
+  *status = rs->status;
+  return rs;
+}
+
+int64_t gt_runs_count(void* h) {
+  return (int64_t)((RunSet*)h)->runs.size();
+}
+
+int64_t gt_runs_codes_len(void* h) {
+  int64_t n = 0;
+  for (const auto& r : ((RunSet*)h)->runs) n += (int64_t)r.codes.size();
+  return n;
+}
+
+int64_t gt_runs_valid_len(void* h) {
+  int64_t n = 0;
+  for (const auto& r : ((RunSet*)h)->runs) n += (int64_t)r.valid.size();
+  return n;
+}
+
+void gt_runs_export(void* h, uint8_t* codes, uint8_t* valid,
+                    int64_t* run_len, int32_t* cluster_idx,
+                    int32_t* combo_idx) {
+  RunSet* rs = (RunSet*)h;
+  int64_t co = 0, vo = 0;
+  for (size_t i = 0; i < rs->runs.size(); ++i) {
+    const RunOut& r = rs->runs[i];
+    std::memcpy(codes + co, r.codes.data(), r.codes.size());
+    std::memcpy(valid + vo, r.valid.data(), r.valid.size());
+    co += (int64_t)r.codes.size();
+    vo += (int64_t)r.valid.size();
+    run_len[i] = (int64_t)r.codes.size();
+    cluster_idx[i] = r.cluster_idx;
+    combo_idx[i] = r.combo_idx;
+  }
+}
+
+void gt_runs_free(void* h) { delete (RunSet*)h; }
 
 // ---------------------------------------------------------------------------
 // Sequential tail sums

@@ -66,16 +66,10 @@ def _unpack1(packed: jnp.ndarray, n: int) -> jnp.ndarray:
     return bits.reshape(packed.shape[0], -1)[:, :n]
 
 
-@partial(jax.jit, static_argnames=("k", "hist_size"))
-def scan_runs_device(
+def _scan_core(
     packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k: int,
     hist_size: int,
 ):
-    """Scan a padded run batch.
-
-    Returns ``(hist (hist_size, M) int32, hitbits (B, ceil(Noff/8), M)
-    uint8)``.
-    """
     b, w4 = packed.shape
     r = w4 * 4
     noff = r - k + 1
@@ -119,6 +113,43 @@ def scan_runs_device(
     weights = (1 << jnp.arange(8, dtype=jnp.uint8))[None, None, :, None]
     hitbits = jnp.sum(hit * weights, axis=2).astype(jnp.uint8)
     return hist, hitbits
+
+
+@partial(jax.jit, static_argnames=("k", "hist_size"))
+def scan_runs_device(
+    packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k: int,
+    hist_size: int,
+):
+    """Scan a padded run batch.
+
+    Returns ``(hist (hist_size, M) int32, hitbits (B, ceil(Noff/8), M)
+    uint8)``.
+    """
+    return _scan_core(
+        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "hist_size"), donate_argnums=(0,))
+def scan_runs_device_acc(
+    hist_acc, packed, nbits, vbits, pwm_kernel, min_scores, cutoffs,
+    k: int, hist_size: int,
+):
+    """Accumulating variant: adds this batch's histogram into the donated
+    device-resident accumulator and also returns the batch hit count, so
+    the host can skip fetching hit bits for hitless batches — in a
+    production scan almost every batch is hitless and nothing but a
+    scalar crosses the device->host link per batch (the histogram is
+    fetched once per scan; device->host round trips through the TPU
+    tunnel are expensive)."""
+    hist, hitbits = _scan_core(
+        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+    )
+    # popcount of the packed hit bits = number of hits in this batch
+    n_hits = jnp.sum(
+        jax.lax.population_count(hitbits.astype(jnp.uint32))
+    ).astype(jnp.int32)
+    return hist_acc + hist.astype(hist_acc.dtype), hitbits, n_hits
 
 
 def unpack_hitbits(hitbits: np.ndarray, noff: int) -> np.ndarray:

@@ -22,7 +22,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from grafimo_tpu.graph.runs import Run, reconstruct_hit, region_runs
+from grafimo_tpu.graph.runs import (
+    Run,
+    build_single_run,
+    reconstruct_hit,
+    region_runs,
+)
 from grafimo_tpu.graph.sitegraph import SiteGraph
 from grafimo_tpu.models.motif import Motif
 from grafimo_tpu.models.pvalue import PvalueLookup
@@ -48,8 +53,17 @@ for _c in "ACGTacgt":
 
 
 @dataclass
+class RunPayload:
+    """Scan payload of one run: enough to score it, not to report it."""
+
+    codes: np.ndarray  # uint8 (L,) 0..3, 4 = N
+    valid: np.ndarray  # bool (L-k+1,)
+    ref: Tuple[int, int]  # (cluster_idx, combo_idx); (-1, 0) = backbone
+
+
+@dataclass
 class RunChunk:
-    source: Tuple[str, int]  # (region key, run index)
+    source: Tuple[str, Tuple[int, int]]  # (region key, run ref)
     chunk_off: int  # offset of this chunk within the run
 
 
@@ -69,7 +83,27 @@ class RegionRuns:
     display: str
     start: int
     stop: int
-    runs: List[Run]
+    width: int
+    payloads: List[RunPayload]
+    _run_cache: Dict[Tuple[int, int], Run] = field(default_factory=dict)
+
+    def get_run(self, ref: Tuple[int, int]) -> Run:
+        """Materialise run metadata lazily (hits only)."""
+        run = self._run_cache.get(ref)
+        if run is None:
+            run = build_single_run(
+                self.graph, self.start, self.stop, self.width, ref
+            )
+            assert run is not None
+            self._run_cache[ref] = run
+        return run
+
+
+def _payload_from_run(run: Run) -> RunPayload:
+    seq_bytes = np.frombuffer(run.seq.encode("ascii"), np.uint8)
+    codes = _SEQ_LUT[seq_bytes].copy()
+    codes[_N_LUT[seq_bytes]] = 4
+    return RunPayload(codes=codes, valid=run.valid, ref=run.ref)
 
 
 def build_region_runs(
@@ -78,9 +112,21 @@ def build_region_runs(
     regions: Sequence[Tuple[int, int]],
     k: int,
 ) -> List[RegionRuns]:
+    """Build scan payloads for every region.  Uses the native (C++) run
+    builder when available, the python builder otherwise; hit metadata is
+    reconstructed lazily either way."""
     out = []
     for start, stop in regions:
         key = f"{display}:{start}-{stop}"
+        payloads: List[RunPayload] = []
+        cache: Dict[Tuple[int, int], Run] = {}
+        native = _native_region_payloads(graph, start, stop, k)
+        if native is not None:
+            payloads = native
+        else:
+            for run in region_runs(graph, start, stop, k):
+                payloads.append(_payload_from_run(run))
+                cache[run.ref] = run
         out.append(
             RegionRuns(
                 key=key,
@@ -88,25 +134,40 @@ def build_region_runs(
                 display=display,
                 start=start,
                 stop=stop,
-                runs=region_runs(graph, start, stop, k),
+                width=k,
+                payloads=payloads,
+                _run_cache=cache,
             )
         )
     return out
 
 
+def _native_region_payloads(
+    graph: SiteGraph, start: int, stop: int, k: int
+) -> Optional[List[RunPayload]]:
+    """Run payloads from the C++ engine (None -> fall back to python)."""
+    try:
+        from grafimo_tpu.native import build_region_runs_native
+    except Exception:
+        return None
+    try:
+        return build_region_runs_native(graph, start, stop, k)
+    except Exception:
+        return None
+
+
 def batch_runs(
     region_runs_list: List[RegionRuns], k: int, buckets=BUCKETS
 ) -> List[DeviceBatch]:
-    """Chunk + bucket + bit-pack all runs into device-ready batches."""
+    """Chunk + bucket + bit-pack all run payloads into device batches."""
     per_bucket: Dict[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray, RunChunk]]] = {}
     max_r = buckets[-1]
     stride_base = max_r - k + 1
     for rr in region_runs_list:
-        for ri, run in enumerate(rr.runs):
-            seq_bytes = np.frombuffer(run.seq.encode("ascii"), np.uint8)
-            codes = _SEQ_LUT[seq_bytes]
-            nmask = _N_LUT[seq_bytes]
-            L = len(run.seq)
+        for payload in rr.payloads:
+            codes = payload.codes
+            nmask = codes >= 4
+            L = len(codes)
             noff_total = L - k + 1
             pos = 0
             while pos < noff_total:
@@ -118,9 +179,10 @@ def batch_runs(
                 c_n = np.zeros(r, dtype=bool)
                 c_n[:chunk_len] = nmask[pos : pos + chunk_len]
                 c_valid = np.zeros(r - k + 1, dtype=bool)
-                c_valid[:take_off] = run.valid[pos : pos + take_off]
+                c_valid[:take_off] = payload.valid[pos : pos + take_off]
                 per_bucket.setdefault(r, []).append(
-                    (c_codes, c_n, c_valid, RunChunk((rr.key, ri), pos))
+                    (c_codes, c_n, c_valid,
+                     RunChunk((rr.key, payload.ref), pos))
                 )
                 pos += take_off
     batches = []
@@ -154,21 +216,30 @@ def scan_batches(
     hist_size: int,
     collect_hits: bool = True,
 ) -> RunScanResult:
+    import jax.numpy as jnp
+
+    from grafimo_tpu.ops.score_runs import scan_runs_device_acc
+
     m = pwm_kernel.shape[-1]
-    hist_total = np.zeros((hist_size, m), dtype=np.int64)
     hits: List[Tuple[Tuple[str, int], int, int]] = []
     t0 = time.perf_counter()
+    # histogram accumulates on device (donated buffer); hit bits are
+    # fetched asynchronously per batch — one device->host histogram
+    # round-trip per scan, not per batch
+    hist_acc = jnp.zeros((hist_size, m), jnp.int32)
     pending = []
     for batch in batches:
-        hist, hitbits = scan_runs_device(
-            batch.packed, batch.nbits, batch.vbits,
+        hist_acc, hitbits, n_hits = scan_runs_device_acc(
+            hist_acc, batch.packed, batch.nbits, batch.vbits,
             pwm_kernel, min_scores.astype(np.int32),
             cutoffs.astype(np.int32), k, hist_size,
         )
-        pending.append((batch, hist, hitbits))
-    for batch, hist, hitbits in pending:
-        hist_total += np.asarray(hist).astype(np.int64)
         if collect_hits:
+            n_hits.copy_to_host_async()
+        pending.append((batch, hitbits, n_hits))
+    hist_total = np.asarray(hist_acc).astype(np.int64)
+    for batch, hitbits, n_hits in pending:
+        if collect_hits and int(n_hits) > 0:
             noff = batch.R - k + 1
             mask = unpack_hitbits(np.asarray(hitbits), noff)
             rows, offs, cols = np.nonzero(mask)
@@ -282,7 +353,7 @@ def compute_results_runs(
             if cmi != mi:
                 continue
             rr = by_key[source[0]]
-            run = rr.runs[source[1]]
+            run = rr.get_run(source[1])
             hit = reconstruct_hit(rr.graph, run, g_off, k)
             if strand == "+":
                 seq, start, stop = hit.seq, hit.begin, hit.end

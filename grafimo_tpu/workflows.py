@@ -170,11 +170,11 @@ def findmotif(workflow: Findmotif) -> List[str]:
                     build_region_runs(graph, display, regions[chrom], width)
                 )
             if workflow.verbose:
-                n_runs = sum(len(r.runs) for r in region_runs_list)
+                n_runs = sum(len(r.payloads) for r in region_runs_list)
                 n_win = sum(
-                    run.n_windows()
+                    int(p.valid.sum())
                     for r in region_runs_list
-                    for run in r.runs
+                    for p in r.payloads
                 )
                 print(
                     f"width {width}: {n_runs} runs / {n_win} windows per "
