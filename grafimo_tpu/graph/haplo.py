@@ -69,22 +69,24 @@ class HaploIndex:
         """Build from per-site allele-index-per-haplotype vectors
         (``None`` for sites without genotype data -> no carriers)."""
         words = (n_hap + 63) // 64
+
+        def to_words(mask: np.ndarray) -> np.ndarray:
+            # bit h lives in word h >> 6 at position h & 63 — pack to
+            # little-endian bytes then view as uint64 words
+            by = np.packbits(mask, bitorder="little")
+            out = np.zeros(words * 8, dtype=np.uint8)
+            out[: len(by)] = by
+            return out.view(np.uint64)
+
         rows: List[Dict[int, int]] = []
         bits: List[np.ndarray] = []
         for gts in site_gts:
             site_rows: Dict[int, int] = {}
             if gts is not None:
-                by_allele: Dict[int, np.ndarray] = {}
-                for h, a in enumerate(gts[:n_hap]):
-                    if a > 0:
-                        if a not in by_allele:
-                            by_allele[a] = np.zeros(words, dtype=np.uint64)
-                        by_allele[a][h >> 6] |= np.uint64(1) << np.uint64(
-                            h & 63
-                        )
-                for a, b in by_allele.items():
-                    site_rows[a] = len(bits)
-                    bits.append(b)
+                arr = np.asarray(gts, dtype=np.int32)[:n_hap]
+                for a in np.unique(arr[arr > 0]).tolist():
+                    site_rows[int(a)] = len(bits)
+                    bits.append(to_words(arr == a))
             rows.append(site_rows)
         alt_bits = (
             np.stack(bits) if bits else np.zeros((0, words), dtype=np.uint64)

@@ -84,11 +84,10 @@ def cluster_sites(
     graph: SiteGraph, region_start: int, region_end: int, k: int
 ) -> List[List[Site]]:
     """Group region-relevant sites into window-disjoint clusters."""
-    sites = [
-        s
-        for s in graph.sites
-        if s.ref_start <= region_end and s.ref_end >= region_start
-    ]
+    starts, ends = graph.site_spans()
+    i0 = int(np.searchsorted(ends, region_start, side="left"))
+    i1 = int(np.searchsorted(starts, region_end, side="right"))
+    sites = graph.sites[i0:i1]
     clusters: List[List[Site]] = []
     d_cur = 0
     for s in sites:

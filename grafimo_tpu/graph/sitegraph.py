@@ -66,6 +66,18 @@ class SiteGraph:
         i = int(np.searchsorted(starts, coord, side="right")) - 1
         return int(nodes[i]) if i >= 0 else 0
 
+    def site_spans(self):
+        """Cached ``(starts, ends)`` int64 arrays over the (sorted,
+        non-overlapping) sites, for binary-search region queries."""
+        spans = getattr(self, "_site_spans_cache", None)
+        if spans is None:
+            spans = (
+                np.array([s.ref_start for s in self.sites], dtype=np.int64),
+                np.array([s.ref_end for s in self.sites], dtype=np.int64),
+            )
+            self._site_spans_cache = spans
+        return spans
+
     def _ref_cover(self):
         cover = getattr(self, "_ref_cover_cache", None)
         if cover is None:
@@ -185,7 +197,7 @@ def build_graph(
     trimmed.sort(key=lambda t: (t[0], t[0] + len(t[1])))
 
     sites: List[Site] = []
-    site_gts: List[Optional[List[int]]] = []
+    site_gts: List[Optional[np.ndarray]] = []
     last_end = 0
     for start0, ref_t, alts_t, gt in trimmed:
         end0 = start0 + len(ref_t)
@@ -200,7 +212,9 @@ def build_graph(
                 allele_nodes=[0] * (1 + len(alts_t)),
             )
         )
-        site_gts.append(list(gt) if gt is not None else None)
+        site_gts.append(
+            np.asarray(gt, dtype=np.int32) if gt is not None else None
+        )
         last_end = max(last_end, end0)
 
     # assign nodes in genomic order: ref segment, then per site alt nodes

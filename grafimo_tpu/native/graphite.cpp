@@ -174,12 +174,19 @@ bool build_backbone_run(const GraphView& g,
 RunSet* build_runs_impl(const GraphView& g, int64_t region_start,
                         int64_t region_end, int64_t k, int64_t max_combos) {
   auto* rs = new RunSet();
-  // cluster decomposition (mirrors cluster_sites, runs.py)
+  // cluster decomposition (mirrors cluster_sites, runs.py).  Sites are
+  // sorted and non-overlapping, so binary-search the first candidate
+  // instead of scanning the whole chromosome per region.
   std::vector<std::vector<int>> clusters;
   int64_t d_cur = 0;
-  for (size_t i = 0; i < g.sites.size(); ++i) {
+  size_t first = std::lower_bound(
+                     g.sites.begin(), g.sites.end(), region_start,
+                     [](const SiteView& s, int64_t v) { return s.end < v; }) -
+                 g.sites.begin();
+  for (size_t i = first; i < g.sites.size(); ++i) {
     const SiteView& s = g.sites[i];
-    if (s.start > region_end || s.end < region_start) continue;
+    if (s.start > region_end) break;
+    if (s.end < region_start) continue;
     if (!clusters.empty() &&
         s.start - g.sites[clusters.back().back()].end < k + d_cur + 1) {
       clusters.back().push_back((int)i);
