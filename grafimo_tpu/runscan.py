@@ -282,6 +282,9 @@ def compute_results_runs(
     verbose: bool = False,
 ) -> Dict[str, pd.DataFrame]:
     """Scan once, report per motif.  All motifs must share one width."""
+    from grafimo_tpu.ops.device import start_device_warmup
+
+    start_device_warmup()
     k = motifs[0].width
     assert all(mt.width == k for mt in motifs)
     hist_size = RANGE * k + 1

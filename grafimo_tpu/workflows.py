@@ -140,6 +140,11 @@ def findmotif(workflow: Findmotif) -> List[str]:
     (reference ``findmotif``, ``grafimo.py:80-192``); returns the written
     report directories (empty for ``--text-only``)."""
     workflow.validate()
+    # start TPU init + first-transfer warmup concurrently with host-side
+    # parsing/extraction (see ops/device.py)
+    from grafimo_tpu.ops.device import start_device_warmup
+
+    start_device_warmup()
     # motifs
     motif_set = MotifSet()
     for motif_file in workflow.motifs:
