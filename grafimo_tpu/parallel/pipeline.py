@@ -129,6 +129,69 @@ def sharded_scan_step(mesh: Mesh, hist_size: int):
     return run
 
 
+def sharded_run_scan(mesh: Mesh, k: int, hist_size: int):
+    """Multi-chip version of the production run scan
+    (``ops/score_runs.scan_runs_device``): run rows shard over ``data``,
+    PWM columns over ``motif``, histograms psum over ``data``.
+
+    Returns ``run(packed, nbits, vbits, pwm_kernel, min_scores, cutoffs)
+    -> (hist, hitbits, hit_counts)`` with
+
+    * ``packed (B, R/4) uint8`` sharded ``P('data', None)`` (pad ``B`` to
+      the data-axis size with all-valid=False rows);
+    * ``hist (hist_size, M)`` the exact global histogram;
+    * ``hitbits (B, ceil(Noff/8), M)`` sharded over ``data``;
+    * ``hit_counts (M,)`` global.
+    """
+    from grafimo_tpu.ops.score_runs import _scan_core
+
+    def _step(packed, nbits, vbits, pwm_kernel, min_scores, cutoffs):
+        hist, hitbits = _scan_core(
+            packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k,
+            hist_size,
+        )
+        hist = jax.lax.psum(hist, "data")
+        counts = jnp.sum(
+            jax.lax.population_count(hitbits.astype(jnp.uint32)),
+            axis=(0, 1),
+        ).astype(jnp.int32)
+        counts = jax.lax.psum(counts, "data")
+        return hist, hitbits, counts
+
+    step = jax.jit(
+        jax.shard_map(
+            _step,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P("data", None),
+                P("data", None),
+                P(None, None, "motif"),
+                P("motif"),
+                P("motif"),
+            ),
+            out_specs=(
+                P(None, "motif"),
+                P("data", None, "motif"),
+                P("motif"),
+            ),
+        )
+    )
+
+    def run(packed, nbits, vbits, pwm_kernel, min_scores, cutoffs):
+        sh = NamedSharding(mesh, P("data", None))
+        return step(
+            jax.device_put(packed, sh),
+            jax.device_put(nbits, sh),
+            jax.device_put(vbits, sh),
+            jnp.asarray(pwm_kernel),
+            jnp.asarray(min_scores, dtype=jnp.int32),
+            jnp.asarray(cutoffs, dtype=jnp.int32),
+        )
+
+    return run
+
+
 def pad_batch(codes: np.ndarray, multiple: int, pad_code: int = PAD_CODE):
     """Pad the window batch to a multiple of the data-shard count.  Padding
     rows carry ``PAD_CODE`` and score ``-1``: they are dropped from
