@@ -144,6 +144,11 @@ def get_parser() -> argparse.ArgumentParser:
         help="scan engine: run-compressed device scan (default) or the "
              "per-window reference path",
     )
+    find.add_argument(
+        "--profile", type=str, default="", dest="profile_dir",
+        help="write a jax profiler trace of the scan phase to this "
+             "directory",
+    )
     return parser
 
 
@@ -198,6 +203,7 @@ def args_to_workflow(args: argparse.Namespace):
         verbose=args.verbose,
         debug=args.debug,
         engine=args.engine,
+        profile_dir=args.profile_dir,
     )
 
 

@@ -63,6 +63,8 @@ class Findmotif:
     # scan engine: "runs" = run-compressed device scan (production),
     # "windows" = per-window reference path
     engine: str = "runs"
+    # when set, write a jax profiler trace of the scan phase here
+    profile_dir: str = ""
 
     def has_graphgenome(self) -> bool:
         return bool(self.graph_genome)

@@ -120,13 +120,23 @@ def build_region_runs(
         key = f"{display}:{start}-{stop}"
         payloads: List[RunPayload] = []
         cache: Dict[Tuple[int, int], Run] = {}
-        native = _native_region_payloads(graph, start, stop, k)
-        if native is not None:
-            payloads = native
-        else:
-            for run in region_runs(graph, start, stop, k):
-                payloads.append(_payload_from_run(run))
-                cache[run.ref] = run
+        try:
+            native = _native_region_payloads(graph, start, stop, k)
+            if native is not None:
+                payloads = native
+            else:
+                for run in region_runs(graph, start, stop, k):
+                    payloads.append(_payload_from_run(run))
+                    cache[run.ref] = run
+        except Exception as e:
+            # a failing region is a warning, not a fatal error — the scan
+            # continues without it (reference extract_regions.py:328-331)
+            import sys
+
+            sys.stderr.write(
+                f"\033[33mWARNING: skipping region {key}: {e}\033[0m\n"
+            )
+            continue
         out.append(
             RegionRuns(
                 key=key,

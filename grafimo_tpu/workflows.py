@@ -34,6 +34,39 @@ from grafimo_tpu.utils.constants import DEFAULT_OUTDIR
 GVT_SUFFIX = ".gvt.npz"
 
 
+def print_welcome() -> None:
+    """Startup banner (reference ``printWelcomeMsg``,
+    ``grafimo.py:195-217``)."""
+    from grafimo_tpu import __version__
+
+    print("\n" + "*" * 54)
+    print("  GRAFIMO-TPU — variation-graph motif scanning on TPU")
+    print(f"  version {__version__}")
+    print("*" * 54 + "\n")
+
+
+def check_deps() -> None:
+    """Preflight the compute stack (reference ``check_deps`` verified the
+    external vg/tabix/dot binaries, ``utils.py:188-209``; this framework
+    has no external binaries — it verifies the jax backend and reports
+    whether the native engine is available)."""
+    import jax
+
+    devices = jax.devices()
+    if not devices:
+        raise RuntimeError("no jax devices available")
+    try:
+        from grafimo_tpu.native import seq_tail_sums  # noqa: F401
+
+        native = "native engine: available"
+    except Exception as e:
+        native = f"native engine: unavailable ({e}); python fallbacks active"
+    print(
+        f"compute backend: {devices[0].platform} x{len(devices)} "
+        f"({devices[0].device_kind}); {native}"
+    )
+
+
 def graph_filename(outdir: str, prefix: str, chrom: str) -> str:
     return os.path.join(outdir, f"{prefix}{chrom}{GVT_SUFFIX}")
 
@@ -42,6 +75,7 @@ def buildvg(workflow: BuildVG) -> List[str]:
     """Build per-chromosome site graphs (reference ``construct_vg``,
     ``constructVG.py:137-293``); returns the written graph paths."""
     workflow.validate()
+    print_welcome()
     outdir = workflow.outdir
     if outdir == DEFAULT_OUTDIR:
         outdir = os.getcwd()
@@ -60,12 +94,19 @@ def buildvg(workflow: BuildVG) -> List[str]:
                 f"{workflow.reference_genome}"
             )
         start = time.time()
-        records = list(iter_vcf_records(workflow.vcf, chrom))
-        graph = build_graph(chrom, seqs[chrom], records)
         name = chrom
         if workflow.namemap:
             name = workflow.namemap.get(chrom, chrom)
         path = graph_filename(outdir, workflow.chroms_prefix, name)
+        if os.path.isfile(path) and not workflow.reindex:
+            # reference skips recomputing indexes unless --reindex
+            # (constructVG.py:213-236)
+            print(f"graph for {chrom} exists ({path}); skipping "
+                  f"(use --reindex to rebuild)")
+            written.append(path)
+            continue
+        records = list(iter_vcf_records(workflow.vcf, chrom))
+        graph = build_graph(chrom, seqs[chrom], records)
         graph.save(path)
         written.append(path)
         if workflow.verbose:
@@ -140,6 +181,8 @@ def findmotif(workflow: Findmotif) -> List[str]:
     (reference ``findmotif``, ``grafimo.py:80-192``); returns the written
     report directories (empty for ``--text-only``)."""
     workflow.validate()
+    print_welcome()
+    check_deps()
     # start TPU init + first-transfer warmup concurrently with host-side
     # parsing/extraction (see ops/device.py)
     from grafimo_tpu.ops.device import start_device_warmup
@@ -159,6 +202,19 @@ def findmotif(workflow: Findmotif) -> List[str]:
     regions, region_num = read_bed_regions(workflow.bedfile)
     print(f"Found {region_num} regions in {workflow.bedfile}")
     graphs = _load_graphs(workflow, list(regions.keys()))
+    # optional structured profiling of the scan phase (the reference only
+    # had wall-clock timers, SURVEY.md §5.1; this emits a full jax
+    # profiler trace viewable in tensorboard/xprof)
+    profile_ctx = None
+    if workflow.profile_dir:
+        import contextlib
+
+        import jax
+
+        profile_ctx = contextlib.ExitStack()
+        profile_ctx.enter_context(
+            jax.profiler.trace(workflow.profile_dir)
+        )
     # one extraction pass per distinct width, shared by all motifs of that
     # width (reference grafimo.py:176)
     results: Dict[str, object] = {}
@@ -230,6 +286,9 @@ def findmotif(workflow: Findmotif) -> List[str]:
             )
             print(f"Scanned sequences:\t{stats.seqs_scanned}")
             print(f"Scanned nucleotides:\t{stats.nucs_scanned}")
+    if profile_ctx is not None:
+        profile_ctx.close()
+        print(f"profiler trace written to {workflow.profile_dir}")
     # write / print reports per motif
     outdirs = []
     chrom_graphs = {d: g for (d, g) in graphs.values()}
