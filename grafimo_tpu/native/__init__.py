@@ -86,6 +86,20 @@ def _lib() -> ctypes.CDLL:
             lib.gt_runs_export.restype = None
             lib.gt_runs_free.argtypes = [c.c_void_p]
             lib.gt_runs_free.restype = None
+            lib.gt_batch_regions.argtypes = [
+                u8p, c.c_int64, c.c_int64, i64p, i64p, i64p, i32p,
+                i64p, i64p, u8p, i64p, i64p, c.c_int64, c.c_int64,
+                i64p, c.c_int64, c.c_int64, i32p,
+            ]
+            lib.gt_batch_regions.restype = c.c_void_p
+            lib.gt_batch_rows.argtypes = [c.c_void_p, i64p]
+            lib.gt_batch_rows.restype = None
+            lib.gt_batch_export.argtypes = [
+                c.c_void_p, c.c_int64, u8p, u8p, u8p, i32p,
+            ]
+            lib.gt_batch_export.restype = None
+            lib.gt_batch_free.argtypes = [c.c_void_p]
+            lib.gt_batch_free.restype = None
             _LIB = lib
     return _LIB
 
@@ -201,6 +215,69 @@ def build_region_runs_native(graph, region_start, region_end, k,
         co += ln
         vo += noff
     return payloads
+
+
+def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16):
+    """C++ full batch pipeline: all regions of one graph -> device-ready
+    bucketed, bit-packed batches.
+
+    Returns ``(per_bucket, n_skipped)`` where ``per_bucket`` maps bucket
+    length R to ``dict(packed, nbits, vbits, meta)`` (meta int32 ``(rows,
+    4)``: region_idx, cluster_idx, combo_idx, chunk_off).
+    """
+    import ctypes as c
+
+    lib = _lib()
+    flat = _flatten_graph(graph)
+    u8p = c.POINTER(c.c_uint8)
+    i64p = c.POINTER(c.c_int64)
+    i32p = c.POINTER(c.c_int32)
+    starts = np.array([r[0] for r in regions], dtype=np.int64)
+    ends = np.array([r[1] for r in regions], dtype=np.int64)
+    bucket_arr = np.array(sorted(buckets), dtype=np.int64)
+    n_skipped = np.zeros(1, dtype=np.int32)
+    handle = lib.gt_batch_regions(
+        flat["seq"].ctypes.data_as(u8p), c.c_int64(flat["seq"].size),
+        c.c_int64(len(flat["site_start"])),
+        flat["site_start"].ctypes.data_as(i64p),
+        flat["site_end"].ctypes.data_as(i64p),
+        flat["site_aoff"].ctypes.data_as(i64p),
+        flat["site_nall"].ctypes.data_as(i32p),
+        flat["allele_off"].ctypes.data_as(i64p),
+        flat["allele_len"].ctypes.data_as(i64p),
+        flat["blob"].ctypes.data_as(u8p),
+        starts.ctypes.data_as(i64p), ends.ctypes.data_as(i64p),
+        c.c_int64(len(regions)), c.c_int64(k),
+        bucket_arr.ctypes.data_as(i64p), c.c_int64(bucket_arr.size),
+        c.c_int64(max_combos),
+        n_skipped.ctypes.data_as(i32p),
+    )
+    if not handle:
+        raise RuntimeError("gt_batch_regions failed")
+    try:
+        rows = np.zeros(bucket_arr.size, dtype=np.int64)
+        lib.gt_batch_rows(handle, rows.ctypes.data_as(i64p))
+        per_bucket = {}
+        for bi, r_len in enumerate(bucket_arr.tolist()):
+            n = int(rows[bi])
+            if n == 0:
+                continue
+            noff = r_len - k + 1
+            packed = np.empty((n, r_len // 4), dtype=np.uint8)
+            nbits = np.empty((n, (r_len + 7) // 8), dtype=np.uint8)
+            vbits = np.empty((n, (noff + 7) // 8), dtype=np.uint8)
+            meta = np.empty((n, 4), dtype=np.int32)
+            lib.gt_batch_export(
+                handle, c.c_int64(bi),
+                packed.ctypes.data_as(u8p), nbits.ctypes.data_as(u8p),
+                vbits.ctypes.data_as(u8p), meta.ctypes.data_as(i32p),
+            )
+            per_bucket[int(r_len)] = dict(
+                packed=packed, nbits=nbits, vbits=vbits, meta=meta
+            )
+    finally:
+        lib.gt_batch_free(handle)
+    return per_bucket, int(n_skipped[0])
 
 
 def seq_tail_sums(arr: np.ndarray, starts: np.ndarray) -> np.ndarray:

@@ -229,9 +229,146 @@ RunSet* build_runs_impl(const GraphView& g, int64_t region_start,
   return rs;
 }
 
+// ---------------------------------------------------------------------------
+// Full batch pipeline: regions -> device-ready bucketed bit-packed batches
+// (mirrors runscan.batch_runs; removes all per-chunk python work)
+// ---------------------------------------------------------------------------
+
+struct BucketBuf {
+  int64_t R = 0;
+  int64_t rows = 0;
+  std::vector<uint8_t> packed;  // rows x R/4
+  std::vector<uint8_t> nbits;   // rows x R/8
+  std::vector<uint8_t> vbits;   // rows x ceil((R-k+1)/8)
+  std::vector<int32_t> meta;    // rows x 4: region, cluster, combo, chunk_off
+};
+
+struct BatchSet {
+  std::vector<BucketBuf> buckets;
+  int64_t k = 0;
+  int32_t n_skipped_regions = 0;
+};
+
+void append_chunk(BucketBuf* b, int64_t k, const uint8_t* codes,
+                  const uint8_t* valid, int64_t chunk_len, int64_t take_off,
+                  int32_t region, int32_t cluster, int32_t combo,
+                  int32_t chunk_off) {
+  const int64_t w4 = b->R / 4;
+  const int64_t w8 = (b->R + 7) / 8;
+  const int64_t noff = b->R - k + 1;
+  const int64_t vw = (noff + 7) / 8;
+  size_t p0 = b->packed.size();
+  b->packed.resize(p0 + w4, 0);
+  size_t n0 = b->nbits.size();
+  b->nbits.resize(n0 + w8, 0);
+  size_t v0 = b->vbits.size();
+  b->vbits.resize(v0 + vw, 0);
+  for (int64_t j = 0; j < chunk_len; ++j) {
+    uint8_t c = codes[j];
+    if (c >= 4) {
+      b->nbits[n0 + (j >> 3)] |= (uint8_t)(1u << (j & 7));
+      c = 0;
+    }
+    b->packed[p0 + (j >> 2)] |= (uint8_t)(c << (2 * (j & 3)));
+  }
+  for (int64_t o = 0; o < take_off; ++o)
+    if (valid[o])
+      b->vbits[v0 + (o >> 3)] |= (uint8_t)(1u << (o & 7));
+  b->meta.push_back(region);
+  b->meta.push_back(cluster);
+  b->meta.push_back(combo);
+  b->meta.push_back(chunk_off);
+  b->rows += 1;
+}
+
+BatchSet* batch_regions_impl(const GraphView& g,
+                             const int64_t* region_starts,
+                             const int64_t* region_ends, int64_t n_regions,
+                             int64_t k, const int64_t* bucket_sizes,
+                             int64_t n_buckets, int64_t max_combos) {
+  auto* bs = new BatchSet();
+  bs->k = k;
+  bs->buckets.resize(n_buckets);
+  for (int64_t i = 0; i < n_buckets; ++i) bs->buckets[i].R = bucket_sizes[i];
+  const int64_t stride_base = bucket_sizes[n_buckets - 1] - k + 1;
+
+  auto place_run = [&](const RunOut& r, int32_t region) {
+    int64_t L = (int64_t)r.codes.size();
+    int64_t noff_total = L - k + 1;
+    int64_t pos = 0;
+    while (pos < noff_total) {
+      int64_t take_off = std::min(stride_base, noff_total - pos);
+      int64_t chunk_len = take_off + k - 1;
+      int64_t bi = 0;
+      while (bucket_sizes[bi] < chunk_len) ++bi;
+      append_chunk(&bs->buckets[bi], k, r.codes.data() + pos,
+                   r.valid.data() + pos, chunk_len, take_off, region,
+                   r.cluster_idx, r.combo_idx, (int32_t)pos);
+      pos += take_off;
+    }
+  };
+
+  for (int64_t ri = 0; ri < n_regions; ++ri) {
+    RunSet* rs = build_runs_impl(g, region_starts[ri], region_ends[ri], k,
+                                 max_combos);
+    if (rs->status != 0) {
+      bs->n_skipped_regions += 1;
+      delete rs;
+      continue;
+    }
+    for (const RunOut& r : rs->runs) place_run(r, (int32_t)ri);
+    delete rs;
+  }
+  return bs;
+}
+
 }  // namespace
 
 extern "C" {
+
+void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
+                       const int64_t* site_start, const int64_t* site_end,
+                       const int64_t* site_allele_off,
+                       const int32_t* site_n_alleles,
+                       const int64_t* allele_off, const int64_t* allele_len,
+                       const uint8_t* allele_blob,
+                       const int64_t* region_starts,
+                       const int64_t* region_ends, int64_t n_regions,
+                       int64_t k, const int64_t* bucket_sizes,
+                       int64_t n_buckets, int64_t max_combos,
+                       int32_t* n_skipped) {
+  GraphView g;
+  g.seq = seq;
+  g.L = L;
+  g.allele_off = allele_off;
+  g.allele_len = allele_len;
+  g.allele_blob = allele_blob;
+  g.sites.reserve(n_sites);
+  for (int64_t i = 0; i < n_sites; ++i)
+    g.sites.push_back(
+        {site_start[i], site_end[i], site_allele_off[i], site_n_alleles[i]});
+  BatchSet* bs = batch_regions_impl(g, region_starts, region_ends, n_regions,
+                                    k, bucket_sizes, n_buckets, max_combos);
+  *n_skipped = bs->n_skipped_regions;
+  return bs;
+}
+
+void gt_batch_rows(void* h, int64_t* rows_out) {
+  BatchSet* bs = (BatchSet*)h;
+  for (size_t i = 0; i < bs->buckets.size(); ++i)
+    rows_out[i] = bs->buckets[i].rows;
+}
+
+void gt_batch_export(void* h, int64_t bucket, uint8_t* packed, uint8_t* nbits,
+                     uint8_t* vbits, int32_t* meta) {
+  BucketBuf& b = ((BatchSet*)h)->buckets[bucket];
+  std::memcpy(packed, b.packed.data(), b.packed.size());
+  std::memcpy(nbits, b.nbits.data(), b.nbits.size());
+  std::memcpy(vbits, b.vbits.data(), b.vbits.size());
+  std::memcpy(meta, b.meta.data(), b.meta.size() * sizeof(int32_t));
+}
+
+void gt_batch_free(void* h) { delete (BatchSet*)h; }
 
 void* gt_build_runs(const uint8_t* seq, int64_t L, int64_t n_sites,
                     const int64_t* site_start, const int64_t* site_end,

@@ -84,7 +84,9 @@ class RegionRuns:
     start: int
     stop: int
     width: int
-    payloads: List[RunPayload]
+    # scan payloads; None = deferred to the native batch pipeline
+    # (batch_runs builds device batches straight from C++ buffers)
+    payloads: Optional[List[RunPayload]]
     _run_cache: Dict[Tuple[int, int], Run] = field(default_factory=dict)
 
     def get_run(self, ref: Tuple[int, int]) -> Run:
@@ -112,31 +114,35 @@ def build_region_runs(
     regions: Sequence[Tuple[int, int]],
     k: int,
 ) -> List[RegionRuns]:
-    """Build scan payloads for every region.  Uses the native (C++) run
-    builder when available, the python builder otherwise; hit metadata is
-    reconstructed lazily either way."""
+    """Build scan payloads for every region.
+
+    When the native batch pipeline is available, payload construction is
+    deferred entirely to one C++ call per graph inside
+    :func:`batch_runs`; otherwise the python builder materialises
+    payloads here.  Hit metadata is reconstructed lazily either way.
+    """
+    native_ok = _native_batcher() is not None
     out = []
     for start, stop in regions:
         key = f"{display}:{start}-{stop}"
-        payloads: List[RunPayload] = []
+        payloads: Optional[List[RunPayload]] = None
         cache: Dict[Tuple[int, int], Run] = {}
-        try:
-            native = _native_region_payloads(graph, start, stop, k)
-            if native is not None:
-                payloads = native
-            else:
+        if not native_ok:
+            payloads = []
+            try:
                 for run in region_runs(graph, start, stop, k):
                     payloads.append(_payload_from_run(run))
                     cache[run.ref] = run
-        except Exception as e:
-            # a failing region is a warning, not a fatal error — the scan
-            # continues without it (reference extract_regions.py:328-331)
-            import sys
+            except Exception as e:
+                # a failing region is a warning, not a fatal error — the
+                # scan continues without it (reference
+                # extract_regions.py:328-331)
+                import sys
 
-            sys.stderr.write(
-                f"\033[33mWARNING: skipping region {key}: {e}\033[0m\n"
-            )
-            continue
+                sys.stderr.write(
+                    f"\033[33mWARNING: skipping region {key}: {e}\033[0m\n"
+                )
+                continue
         out.append(
             RegionRuns(
                 key=key,
@@ -152,16 +158,12 @@ def build_region_runs(
     return out
 
 
-def _native_region_payloads(
-    graph: SiteGraph, start: int, stop: int, k: int
-) -> Optional[List[RunPayload]]:
-    """Run payloads from the C++ engine (None -> fall back to python)."""
+def _native_batcher():
+    """The C++ batch pipeline entry, or None when unavailable."""
     try:
-        from grafimo_tpu.native import build_region_runs_native
-    except Exception:
-        return None
-    try:
-        return build_region_runs_native(graph, start, stop, k)
+        from grafimo_tpu.native import batch_regions_native
+
+        return batch_regions_native
     except Exception:
         return None
 
@@ -169,7 +171,63 @@ def _native_region_payloads(
 def batch_runs(
     region_runs_list: List[RegionRuns], k: int, buckets=BUCKETS
 ) -> List[DeviceBatch]:
-    """Chunk + bucket + bit-pack all run payloads into device batches."""
+    """Chunk + bucket + bit-pack all run payloads into device batches.
+
+    Deferred (``payloads is None``) regions go through the C++ batch
+    pipeline — one call per graph covering run construction, chunking and
+    bit packing; the rest use the python path below.
+    """
+    batches: List[DeviceBatch] = []
+    python_rrs = [rr for rr in region_runs_list if rr.payloads is not None]
+    native_rrs = [rr for rr in region_runs_list if rr.payloads is None]
+    if native_rrs:
+        fn = _native_batcher()
+        groups: Dict[int, List[RegionRuns]] = {}
+        for rr in native_rrs:
+            groups.setdefault(id(rr.graph), []).append(rr)
+        for group in groups.values():
+            try:
+                per_bucket_native, n_skipped = fn(
+                    group[0].graph,
+                    [(rr.start, rr.stop) for rr in group],
+                    k,
+                    sorted(buckets),
+                )
+                if n_skipped:
+                    import sys
+
+                    sys.stderr.write(
+                        f"\033[33mWARNING: {n_skipped} region(s) skipped "
+                        f"(allele combination cap)\033[0m\n"
+                    )
+                for r_len, d in per_bucket_native.items():
+                    chunks = [
+                        RunChunk(
+                            (group[int(m[0])].key, (int(m[1]), int(m[2]))),
+                            int(m[3]),
+                        )
+                        for m in d["meta"]
+                    ]
+                    batches.append(
+                        DeviceBatch(
+                            R=r_len, packed=d["packed"], nbits=d["nbits"],
+                            vbits=d["vbits"], chunks=chunks,
+                        )
+                    )
+            except Exception as e:
+                import sys
+
+                sys.stderr.write(
+                    f"\033[33mWARNING: native batcher failed ({e}); "
+                    f"falling back to python extraction\033[0m\n"
+                )
+                for rr in group:
+                    rr.payloads = []
+                    for run in region_runs(rr.graph, rr.start, rr.stop, k):
+                        rr.payloads.append(_payload_from_run(run))
+                        rr._run_cache[run.ref] = run
+                    python_rrs.append(rr)
+    region_runs_list = python_rrs
     per_bucket: Dict[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray, RunChunk]]] = {}
     max_r = buckets[-1]
     stride_base = max_r - k + 1
@@ -195,7 +253,6 @@ def batch_runs(
                      RunChunk((rr.key, payload.ref), pos))
                 )
                 pos += take_off
-    batches = []
     for r, rows in per_bucket.items():
         packed = pack_run_seqs(np.stack([x[0] for x in rows]))
         nbits = pack_bits(np.stack([x[1] for x in rows]))

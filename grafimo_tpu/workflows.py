@@ -231,16 +231,22 @@ def findmotif(workflow: Findmotif) -> List[str]:
                     build_region_runs(graph, display, regions[chrom], width)
                 )
             if workflow.verbose:
-                n_runs = sum(len(r.payloads) for r in region_runs_list)
-                n_win = sum(
-                    int(p.valid.sum())
-                    for r in region_runs_list
-                    for p in r.payloads
-                )
-                print(
-                    f"width {width}: {n_runs} runs / {n_win} windows per "
-                    f"strand in {time.time() - t0:.2f}s"
-                )
+                materialised = [
+                    r for r in region_runs_list if r.payloads is not None
+                ]
+                if materialised:
+                    n_runs = sum(len(r.payloads) for r in materialised)
+                    print(
+                        f"width {width}: {n_runs} runs over "
+                        f"{len(region_runs_list)} regions in "
+                        f"{time.time() - t0:.2f}s"
+                    )
+                else:
+                    print(
+                        f"width {width}: {len(region_runs_list)} regions "
+                        f"prepared (native batch pipeline) in "
+                        f"{time.time() - t0:.2f}s"
+                    )
             dfs = compute_results_runs(
                 motif_set.by_width(width),
                 region_runs_list,
