@@ -47,7 +47,6 @@ def main() -> None:
         pack_bits,
         pack_run_seqs,
         pwms_to_conv_kernel,
-        scan_runs_device,
     )
     from grafimo_tpu.utils.constants import UNIF
 

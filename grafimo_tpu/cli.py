@@ -13,7 +13,7 @@ from grafimo_tpu import __version__
 from grafimo_tpu.config import BuildVG, Findmotif
 from grafimo_tpu.errors import GrafimoError
 from grafimo_tpu.utils.constants import DEFAULT_OUTDIR, NOMAP, UNIF
-from grafimo_tpu.utils.misc import initialize_chroms_list, parse_namemap
+from grafimo_tpu.utils.misc import parse_namemap
 
 
 def get_parser() -> argparse.ArgumentParser:

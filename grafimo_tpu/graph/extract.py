@@ -13,13 +13,12 @@ materialising reverse rows entirely and score them with a
 reverse-complemented PWM instead (``ops/score_jax.reverse_complement_pwm``).
 """
 
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional
 
 import numpy as np
 
 from grafimo_tpu.graph.enumerate import Window, enumerate_region_windows
 from grafimo_tpu.graph.sitegraph import SiteGraph
-from grafimo_tpu.utils.constants import REV_COMPL
 from grafimo_tpu.windows import WindowBatch
 
 _RC_TABLE = str.maketrans("ACGTN", "TGCAN")

@@ -22,7 +22,7 @@ a single ``.gvt`` npz file (arrays only, no pickle).
 
 import json
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -19,8 +19,7 @@ The same step function serves 1 chip, 1 host, or an N-host pod slice; only
 the mesh changes.
 """
 
-from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -36,7 +36,6 @@ from grafimo_tpu.ops.score_runs import (
     pack_bits,
     pack_run_seqs,
     pwms_to_conv_kernel,
-    scan_runs_device,
     unpack_hitbits,
 )
 from grafimo_tpu.ops.score_jax import reverse_complement_pwm

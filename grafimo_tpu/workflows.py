@@ -16,7 +16,7 @@ through the TPU scoring path, reports written per motif.
 
 import os
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from grafimo_tpu.config import BuildVG, Findmotif
 from grafimo_tpu.errors import GraphError
