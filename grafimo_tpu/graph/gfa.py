@@ -1,0 +1,223 @@
+"""GFA v1 import/export — interoperability with the vg toolkit.
+
+Users of the reference pipeline hold ``vg``-built graphs (VG/XG); ``vg view
+-g graph.vg`` emits GFA v1, which this module ingests, and
+:func:`sitegraph_to_gfa` exports this framework's graphs for inspection with
+vg/Bandage.
+
+Import strategy: a VCF-derived variation graph is a linear reference
+backbone with local bubbles.  The importer walks the reference path (``P``
+line), classifies every off-path node chain as an alt allele (SNP/MNP/
+insertion), every path-skipping edge as a deletion, reconstructs the
+equivalent variant records and rebuilds through the standard
+:func:`~grafimo_tpu.graph.sitegraph.build_graph` — so node numbering,
+site decomposition and every downstream engine behave identically to a
+FASTA+VCF build.  Graphs with nested bubbles or non-linear structure are
+rejected with a clear error.
+
+GBWT haplotype threads are not representable in plain GFA v1 exports (vg
+keeps them in the .gbwt); imported graphs therefore carry no haplotype
+index (every window reports frequency 0, like the reference's toy GBWT) —
+pass the phased VCF to ``buildvg`` instead when frequencies matter.
+"""
+
+from typing import Dict, List, Optional, Set, Tuple
+
+from grafimo_tpu.errors import GraphError
+from grafimo_tpu.graph.sitegraph import SiteGraph, build_graph
+from grafimo_tpu.io.vcf import VcfRecord
+
+
+def parse_gfa(path: str):
+    """Parse S/L/P lines; returns (segments, links, paths)."""
+    segments: Dict[str, str] = {}
+    links: List[Tuple[str, str, str, str]] = []
+    paths: Dict[str, List[Tuple[str, str]]] = {}
+    with open(path) as handle:
+        for line in handle:
+            fields = line.rstrip("\n").split("\t")
+            if not fields:
+                continue
+            if fields[0] == "S":
+                segments[fields[1]] = fields[2].upper()
+            elif fields[0] == "L":
+                links.append((fields[1], fields[2], fields[3], fields[4]))
+            elif fields[0] == "P":
+                steps = []
+                for step in fields[2].split(","):
+                    step = step.strip()
+                    if step:
+                        steps.append((step[:-1], step[-1]))
+                paths[fields[1]] = steps
+    return segments, links, paths
+
+
+def gfa_to_sitegraph(path: str, chrom: Optional[str] = None) -> SiteGraph:
+    """Import a vg-style GFA as a :class:`SiteGraph` (no haplotype index;
+    see module docstring)."""
+    segments, links, paths = parse_gfa(path)
+    if not paths:
+        raise GraphError(f"{path}: no P (path) line — cannot identify the "
+                         f"reference backbone")
+    if chrom is None:
+        chrom = next(iter(paths))
+    if chrom not in paths:
+        raise GraphError(f"{path}: no path named {chrom!r}")
+    ref_steps = paths[chrom]
+    if any(o != "+" for _, o in ref_steps):
+        raise GraphError("reverse-oriented reference path steps are not "
+                        "supported")
+    ref_nodes = [n for n, _ in ref_steps]
+    ref_set: Set[str] = set(ref_nodes)
+    # ref coordinates per backbone node
+    start_of: Dict[str, int] = {}
+    end_of: Dict[str, int] = {}
+    pos = 0
+    for n in ref_nodes:
+        if n not in segments:
+            raise GraphError(f"path references unknown segment {n}")
+        start_of[n] = pos
+        pos += len(segments[n])
+        end_of[n] = pos
+    seq = "".join(segments[n] for n in ref_nodes)
+    ref_next = {
+        ref_nodes[i]: ref_nodes[i + 1] for i in range(len(ref_nodes) - 1)
+    }
+
+    # adjacency (forward orientation only — vg VCF graphs are + / +)
+    succs: Dict[str, List[str]] = {}
+    preds: Dict[str, List[str]] = {}
+    for u, uo, v, vo in links:
+        if uo != "+" or vo != "+":
+            raise GraphError("reverse-oriented links are not supported")
+        succs.setdefault(u, []).append(v)
+        preds.setdefault(v, []).append(u)
+
+    # collect alt alleles per (anchor_end_coord, reattach_start_coord)
+    site_alleles: Dict[Tuple[int, int], List[str]] = {}
+
+    def add_allele(span: Tuple[int, int], allele: str) -> None:
+        site_alleles.setdefault(span, []).append(allele)
+
+    visited: Set[str] = set()
+    for node in segments:
+        if node in ref_set or node in visited:
+            continue
+        # walk the off-path chain containing this node back to its anchor.
+        # A chain node with ANY on-path neighbour is a chain end — the
+        # nearest such neighbour anchors the site (adjacent sites connect
+        # alt nodes of one site directly to allele nodes of the next, so
+        # off-path neighbours may belong to other sites).
+        chain = [node]
+        visited.add(node)
+        cur = node
+        while True:
+            ps = preds.get(cur, [])
+            anchors = [p for p in ps if p in ref_set]
+            if anchors:
+                left = max(anchors, key=lambda p: end_of[p])
+                break
+            off = [p for p in ps if p not in ref_set]
+            if len(off) != 1:
+                raise GraphError(
+                    f"nested bubble at segment {cur}: graph is not "
+                    "VCF-site-decomposable"
+                )
+            cur = off[0]
+            if cur in visited:
+                raise GraphError("cyclic off-path chain")
+            visited.add(cur)
+            chain.insert(0, cur)
+        # walk forward to the reattachment node
+        cur = chain[-1]
+        while True:
+            ss = succs.get(cur, [])
+            on = [s for s in ss if s in ref_set]
+            if on:
+                right = min(on, key=lambda s: start_of[s])
+                break
+            off = [s for s in ss if s not in ref_set]
+            if len(off) != 1:
+                raise GraphError(
+                    f"nested bubble at segment {cur}: graph is not "
+                    "VCF-site-decomposable"
+                )
+            cur = off[0]
+            if cur in visited:
+                raise GraphError(
+                    f"off-path chain at {chain[-1]} merges into another "
+                    "chain: graph is not VCF-site-decomposable"
+                )
+            visited.add(cur)
+            chain.append(cur)
+        span = (end_of[left], start_of[right])
+        add_allele(span, "".join(segments[c] for c in chain))
+
+    # deletion edges: backbone links skipping ref nodes
+    for u, uo, v, vo in links:
+        if u in ref_set and v in ref_set and ref_next.get(u) != v:
+            if start_of[v] <= end_of[u]:
+                raise GraphError("backward reference link")
+            add_allele((end_of[u], start_of[v]), "")
+
+    # synthesise VCF-style records (anchor-base convention; build_graph
+    # re-trims) and rebuild through the standard constructor
+    records: List[VcfRecord] = []
+    for (s, e), alleles in sorted(site_alleles.items()):
+        if s == 0:
+            raise GraphError("variant at contig start is not representable "
+                            "with an anchor base")
+        anchor = seq[s - 1]
+        ref_allele = anchor + seq[s:e]
+        alts = [anchor + a for a in alleles]
+        records.append(
+            VcfRecord(chrom=chrom, pos=s, ref=ref_allele, alts=alts, gt=None)
+        )
+    return build_graph(chrom, seq, records, with_haplotypes=False)
+
+
+def sitegraph_to_gfa(graph: SiteGraph, path: str) -> None:
+    """Export as GFA v1 (S/L lines for every node and edge, one P line for
+    the reference path)."""
+    lines = ["H\tVN:Z:1.0"]
+    for nid in range(1, graph.n_nodes + 1):
+        if graph.node_seqs[nid]:
+            lines.append(f"S\t{nid}\t{graph.node_seqs[nid]}")
+    links: List[Tuple[int, int]] = []
+    prev_tails: List[int] = []
+
+    def connect(tails: List[int], heads: List[int]) -> None:
+        for t in tails:
+            for h in heads:
+                links.append((t, h))
+
+    ref_path: List[int] = []
+    for kind, idx in graph.elements:
+        if kind == "seg":
+            connect(prev_tails, [idx])
+            prev_tails = [idx]
+            ref_path.append(idx)
+        else:
+            site = graph.sites[idx]
+            heads, tails = [], []
+            passthrough = False
+            for a_idx, allele in enumerate(site.alleles):
+                nid = site.allele_nodes[a_idx]
+                if allele == "" or nid == 0:
+                    passthrough = True
+                    continue
+                heads.append(nid)
+                tails.append(nid)
+                if a_idx == 0:
+                    ref_path.append(nid)
+            connect(prev_tails, heads)
+            if passthrough:
+                tails = tails + prev_tails
+            prev_tails = tails
+    for t, h in sorted(set(links)):
+        lines.append(f"L\t{t}\t+\t{h}\t+\t0M")
+    lines.append(
+        f"P\t{graph.chrom}\t" + ",".join(f"{n}+" for n in ref_path) + "\t*"
+    )
+    with open(path, "w") as out:
+        out.write("\n".join(lines) + "\n")

@@ -140,6 +140,16 @@ def _display_chrom(workflow: Findmotif, chrom: str) -> str:
     return c
 
 
+def load_graph_file(path: str) -> SiteGraph:
+    """Load a variation graph: native ``.gvt.npz`` or a vg-exported
+    ``.gfa`` (``vg view -g``), see ``graph/gfa.py``."""
+    if path.endswith(".gfa"):
+        from grafimo_tpu.graph.gfa import gfa_to_sitegraph
+
+        return gfa_to_sitegraph(path)
+    return SiteGraph.load(path)
+
+
 def _load_graphs(
     workflow: Findmotif, chroms_in_bed: List[str]
 ) -> Dict[str, Tuple[str, SiteGraph]]:
@@ -148,7 +158,7 @@ def _load_graphs(
     selected = workflow.chroms
     graphs: Dict[str, Tuple[str, SiteGraph]] = {}
     if workflow.has_graphgenome():
-        g = SiteGraph.load(workflow.graph_genome)
+        g = load_graph_file(workflow.graph_genome)
         for chrom in chroms_in_bed:
             c = chrom[3:] if chrom.startswith("chr") else chrom
             if selected and c not in selected:

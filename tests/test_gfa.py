@@ -1,0 +1,103 @@
+"""GFA v1 import/export round-trip (vg interoperability)."""
+
+import numpy as np
+import pytest
+
+from grafimo_tpu.errors import GraphError
+from grafimo_tpu.graph.enumerate import enumerate_region_windows
+from grafimo_tpu.graph.gfa import gfa_to_sitegraph, sitegraph_to_gfa
+from grafimo_tpu.graph.sitegraph import build_graph
+from grafimo_tpu.io.fasta import read_fasta
+from grafimo_tpu.io.vcf import iter_vcf_records
+
+
+@pytest.fixture(scope="module")
+def toy_graph(input_dir):
+    seqs = read_fasta(str(input_dir / "test.fa"))
+    records = list(iter_vcf_records(str(input_dir / "test.vcf.gz"), "x"))
+    return build_graph("x", seqs["x"], records)
+
+
+def _windows_no_freq(graph, rs, re_, k):
+    return sorted(
+        (w.begin, w.end, w.seq, tuple(w.path), w.is_ref)
+        for w in enumerate_region_windows(graph, rs, re_, k)
+    )
+
+
+def test_gfa_roundtrip_toy(toy_graph, tmp_path):
+    p = tmp_path / "x.gfa"
+    sitegraph_to_gfa(toy_graph, str(p))
+    text = p.read_text()
+    assert text.startswith("H\tVN:Z:1.0")
+    assert "P\tx\t" in text
+    g2 = gfa_to_sitegraph(str(p))
+    assert g2.chrom == "x"
+    assert g2.seq == toy_graph.seq
+    assert g2.node_seqs == toy_graph.node_seqs
+    assert [
+        (s.ref_start, s.ref_end, s.alleles, s.allele_nodes)
+        for s in g2.sites
+    ] == [
+        (s.ref_start, s.ref_end, s.alleles, s.allele_nodes)
+        for s in toy_graph.sites
+    ]
+    # identical window enumeration (haplotype index is not representable
+    # in GFA, so frequency is excluded)
+    assert _windows_no_freq(g2, 0, 50, 19) == _windows_no_freq(
+        toy_graph, 0, 50, 19
+    )
+
+
+def test_gfa_roundtrip_indels(tmp_path):
+    from tests.test_runs_differential import _random_graph
+
+    rng = np.random.default_rng(5)
+    g = _random_graph(rng, length=300, n_var=10)
+    p = tmp_path / "r.gfa"
+    sitegraph_to_gfa(g, str(p))
+    g2 = gfa_to_sitegraph(str(p))
+    assert g2.node_seqs == g.node_seqs
+    assert _windows_no_freq(g2, 0, 300, 9) == _windows_no_freq(g, 0, 300, 9)
+
+
+def test_gfa_import_chopped_backbone(tmp_path):
+    """vg chops reference nodes (default 32bp); sites anchored between
+    chopped nodes must import correctly."""
+    gfa = tmp_path / "chopped.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tACGTACGT\n"
+        "S\t2\tTTTT\n"
+        "S\t3\tC\n"  # alt allele (SNP vs first base of node 4)
+        "S\t4\tA\n"
+        "S\t5\tGGGG\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "L\t2\t+\t3\t+\t0M\n"
+        "L\t2\t+\t4\t+\t0M\n"
+        "L\t3\t+\t5\t+\t0M\n"
+        "L\t4\t+\t5\t+\t0M\n"
+        "P\tz\t1+,2+,4+,5+\t*\n"
+    )
+    g = gfa_to_sitegraph(str(gfa))
+    assert g.seq == "ACGTACGTTTTTAGGGG"
+    assert len(g.sites) == 1
+    assert g.sites[0].ref_start == 12 and g.sites[0].ref_end == 13
+    assert g.sites[0].alleles == ["A", "C"]
+
+
+def test_gfa_import_rejects_nested_bubbles(tmp_path):
+    gfa = tmp_path / "nested.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAAAA\nS\t2\tC\nS\t3\tG\nS\t4\tT\nS\t5\tCCCC\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "L\t2\t+\t3\t+\t0M\n"
+        "L\t2\t+\t4\t+\t0M\n"  # branch inside an off-path chain
+        "L\t3\t+\t5\t+\t0M\n"
+        "L\t4\t+\t5\t+\t0M\n"
+        "L\t1\t+\t5\t+\t0M\n"
+        "P\tz\t1+,5+\t*\n"
+    )
+    with pytest.raises(GraphError):
+        gfa_to_sitegraph(str(gfa))
