@@ -60,7 +60,8 @@ def _scan_kernel(packed_ref, flags_ref, pwm_ref, mins_ref, out_ref):
     for c in range(4):
         mask = (codes == c).astype(jnp.float32)
         acc += jnp.dot(
-            mask, pwm_ref[c, :, :], preferred_element_type=jnp.float32
+            mask, pwm_ref[c, :, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     scores = acc.astype(jnp.int32)
     flags = flags_ref[:].astype(jnp.int32)  # (TILE_B, 1)

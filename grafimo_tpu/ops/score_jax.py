@@ -65,7 +65,10 @@ def score_and_histogram(codes, pwm_flat, min_scores, hist_size: int):
         codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)
     onehot = onehot.reshape(b, 4 * k)
-    raw = jnp.dot(onehot, pwm_flat, preferred_element_type=jnp.float32)
+    raw = jnp.dot(
+        onehot, pwm_flat, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     scores = raw.astype(jnp.int32)
     has_n = jnp.any(codes >= N_CODE, axis=1)
     scores = jnp.where(has_n[:, None], min_scores[None, :], scores)
@@ -86,7 +89,10 @@ def score_batch(codes, pwm_flat, min_scores):
         codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)
     onehot = onehot.reshape(b, 4 * k)
-    raw = jnp.dot(onehot, pwm_flat, preferred_element_type=jnp.float32)
+    raw = jnp.dot(
+        onehot, pwm_flat, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     scores = raw.astype(jnp.int32)
     has_n = jnp.any(codes >= N_CODE, axis=1)
     return jnp.where(has_n[:, None], min_scores[None, :], scores)
@@ -114,7 +120,8 @@ def score_and_histogram_packed(
     ).astype(jnp.float32)
     onehot = onehot.reshape(b, 4 * k)
     scores = jnp.dot(
-        onehot, pwm_flat, preferred_element_type=jnp.float32
+        onehot, pwm_flat, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     flags = flags.astype(jnp.int32)
     scores = jnp.where((flags == 1)[:, None], min_scores[None, :], scores)

@@ -84,6 +84,7 @@ def _scan_core(
         padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)  # (B, Noff, M)
     m = scores.shape[-1]
     # N-window detection via cumulative sums of the N indicator

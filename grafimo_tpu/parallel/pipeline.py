@@ -50,7 +50,8 @@ def _score_core(codes, pwm_flat, min_scores, hist_size: int):
     ).astype(jnp.float32)
     onehot = onehot.reshape(b, 4 * k)
     scores = jnp.dot(
-        onehot, pwm_flat, preferred_element_type=jnp.float32
+        onehot, pwm_flat, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     has_n = jnp.any(codes >= N_CODE, axis=1)
     scores = jnp.where(has_n[:, None], min_scores[None, :], scores)

@@ -451,8 +451,18 @@ def compute_results_runs(
         )
         qvalues = None
         if qmap is not None:
+            missing = [int(s) for s in scores_int if int(s) not in qmap]
+            if missing:
+                # every hit's score must occupy its histogram bin; a miss
+                # means device and host scores disagree (e.g. a precision
+                # regression in the scoring contraction)
+                raise RuntimeError(
+                    "device/host score mismatch: hit scores "
+                    f"{sorted(set(missing))[:5]} absent from the device "
+                    "histogram"
+                )
             qvalues = np.array(
-                [qmap.get(int(s), 1.0) for s in scores_int], dtype=np.float64
+                [qmap[int(s)] for s in scores_int], dtype=np.float64
             )
         df = build_results_df(
             motif,
