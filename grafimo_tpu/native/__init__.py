@@ -33,7 +33,7 @@ def _build_lib() -> ctypes.CDLL:
         tmp = so_path + f".tmp.{os.getpid()}"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            _SRC, "-o", tmp,
+            "-pthread", _SRC, "-o", tmp,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
@@ -89,7 +89,7 @@ def _lib() -> ctypes.CDLL:
             lib.gt_batch_regions.argtypes = [
                 u8p, c.c_int64, c.c_int64, i64p, i64p, i64p, i32p,
                 i64p, i64p, u8p, i64p, i64p, c.c_int64, c.c_int64,
-                i64p, c.c_int64, c.c_int64, i32p,
+                i64p, c.c_int64, c.c_int64, c.c_int64, i32p,
             ]
             lib.gt_batch_regions.restype = c.c_void_p
             lib.gt_batch_rows.argtypes = [c.c_void_p, i64p]
@@ -217,7 +217,8 @@ def build_region_runs_native(graph, region_start, region_end, k,
     return payloads
 
 
-def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16):
+def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
+                         n_threads=0):
     """C++ full batch pipeline: all regions of one graph -> device-ready
     bucketed, bit-packed batches.
 
@@ -236,6 +237,8 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16):
     ends = np.array([r[1] for r in regions], dtype=np.int64)
     bucket_arr = np.array(sorted(buckets), dtype=np.int64)
     n_skipped = np.zeros(1, dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
     handle = lib.gt_batch_regions(
         flat["seq"].ctypes.data_as(u8p), c.c_int64(flat["seq"].size),
         c.c_int64(len(flat["site_start"])),
@@ -249,7 +252,7 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16):
         starts.ctypes.data_as(i64p), ends.ctypes.data_as(i64p),
         c.c_int64(len(regions)), c.c_int64(k),
         bucket_arr.ctypes.data_as(i64p), c.c_int64(bucket_arr.size),
-        c.c_int64(max_combos),
+        c.c_int64(max_combos), c.c_int64(n_threads),
         n_skipped.ctypes.data_as(i32p),
     )
     if not handle:

@@ -15,6 +15,8 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <atomic>
+#include <thread>
 
 namespace {
 
@@ -281,17 +283,12 @@ void append_chunk(BucketBuf* b, int64_t k, const uint8_t* codes,
   b->rows += 1;
 }
 
-BatchSet* batch_regions_impl(const GraphView& g,
-                             const int64_t* region_starts,
-                             const int64_t* region_ends, int64_t n_regions,
-                             int64_t k, const int64_t* bucket_sizes,
-                             int64_t n_buckets, int64_t max_combos) {
-  auto* bs = new BatchSet();
-  bs->k = k;
-  bs->buckets.resize(n_buckets);
-  for (int64_t i = 0; i < n_buckets; ++i) bs->buckets[i].R = bucket_sizes[i];
+void fill_batchset(BatchSet* bs, const GraphView& g,
+                   const int64_t* region_starts, const int64_t* region_ends,
+                   int64_t k, const int64_t* bucket_sizes, int64_t n_buckets,
+                   int64_t max_combos, std::atomic<int64_t>* next_region,
+                   int64_t n_regions) {
   const int64_t stride_base = bucket_sizes[n_buckets - 1] - k + 1;
-
   auto place_run = [&](const RunOut& r, int32_t region) {
     int64_t L = (int64_t)r.codes.size();
     int64_t noff_total = L - k + 1;
@@ -307,8 +304,9 @@ BatchSet* batch_regions_impl(const GraphView& g,
       pos += take_off;
     }
   };
-
-  for (int64_t ri = 0; ri < n_regions; ++ri) {
+  while (true) {
+    int64_t ri = next_region->fetch_add(1);
+    if (ri >= n_regions) break;
     RunSet* rs = build_runs_impl(g, region_starts[ri], region_ends[ri], k,
                                  max_combos);
     if (rs->status != 0) {
@@ -318,6 +316,54 @@ BatchSet* batch_regions_impl(const GraphView& g,
     }
     for (const RunOut& r : rs->runs) place_run(r, (int32_t)ri);
     delete rs;
+  }
+}
+
+BatchSet* batch_regions_impl(const GraphView& g,
+                             const int64_t* region_starts,
+                             const int64_t* region_ends, int64_t n_regions,
+                             int64_t k, const int64_t* bucket_sizes,
+                             int64_t n_buckets, int64_t max_combos,
+                             int64_t n_threads) {
+  n_threads = std::max<int64_t>(1, std::min(n_threads, n_regions));
+  std::vector<BatchSet*> partials(n_threads);
+  for (auto& p : partials) {
+    p = new BatchSet();
+    p->k = k;
+    p->buckets.resize(n_buckets);
+    for (int64_t i = 0; i < n_buckets; ++i)
+      p->buckets[i].R = bucket_sizes[i];
+  }
+  // regions are claimed from a shared counter; each worker fills its own
+  // BatchSet (share-nothing), merged below
+  std::atomic<int64_t> next_region{0};
+  if (n_threads == 1) {
+    fill_batchset(partials[0], g, region_starts, region_ends, k,
+                  bucket_sizes, n_buckets, max_combos, &next_region,
+                  n_regions);
+  } else {
+    std::vector<std::thread> workers;
+    for (int64_t t = 0; t < n_threads; ++t)
+      workers.emplace_back(fill_batchset, partials[t], std::cref(g),
+                           region_starts, region_ends, k, bucket_sizes,
+                           n_buckets, max_combos, &next_region, n_regions);
+    for (auto& w : workers) w.join();
+  }
+  BatchSet* bs = partials[0];
+  for (int64_t t = 1; t < n_threads; ++t) {
+    BatchSet* p = partials[t];
+    bs->n_skipped_regions += p->n_skipped_regions;
+    for (int64_t i = 0; i < n_buckets; ++i) {
+      BucketBuf& dst = bs->buckets[i];
+      BucketBuf& src = p->buckets[i];
+      dst.packed.insert(dst.packed.end(), src.packed.begin(),
+                        src.packed.end());
+      dst.nbits.insert(dst.nbits.end(), src.nbits.begin(), src.nbits.end());
+      dst.vbits.insert(dst.vbits.end(), src.vbits.begin(), src.vbits.end());
+      dst.meta.insert(dst.meta.end(), src.meta.begin(), src.meta.end());
+      dst.rows += src.rows;
+    }
+    delete p;
   }
   return bs;
 }
@@ -336,7 +382,7 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
                        const int64_t* region_ends, int64_t n_regions,
                        int64_t k, const int64_t* bucket_sizes,
                        int64_t n_buckets, int64_t max_combos,
-                       int32_t* n_skipped) {
+                       int64_t n_threads, int32_t* n_skipped) {
   GraphView g;
   g.seq = seq;
   g.L = L;
@@ -347,8 +393,9 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
   for (int64_t i = 0; i < n_sites; ++i)
     g.sites.push_back(
         {site_start[i], site_end[i], site_allele_off[i], site_n_alleles[i]});
-  BatchSet* bs = batch_regions_impl(g, region_starts, region_ends, n_regions,
-                                    k, bucket_sizes, n_buckets, max_combos);
+  BatchSet* bs =
+      batch_regions_impl(g, region_starts, region_ends, n_regions, k,
+                         bucket_sizes, n_buckets, max_combos, n_threads);
   *n_skipped = bs->n_skipped_regions;
   return bs;
 }

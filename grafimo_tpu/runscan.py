@@ -168,7 +168,8 @@ def _native_batcher():
 
 
 def batch_runs(
-    region_runs_list: List[RegionRuns], k: int, buckets=BUCKETS
+    region_runs_list: List[RegionRuns], k: int, buckets=BUCKETS,
+    threads: int = 0,
 ) -> List[DeviceBatch]:
     """Chunk + bucket + bit-pack all run payloads into device batches.
 
@@ -191,6 +192,7 @@ def batch_runs(
                     [(rr.start, rr.stop) for rr in group],
                     k,
                     sorted(buckets),
+                    n_threads=threads,
                 )
                 if n_skipped:
                     import sys
@@ -346,6 +348,7 @@ def compute_results_runs(
     no_reverse: bool = False,
     recomb: bool = False,
     verbose: bool = False,
+    cores: int = 0,
 ) -> Dict[str, pd.DataFrame]:
     """Scan once, report per motif.  All motifs must share one width."""
     from grafimo_tpu.ops.device import start_device_warmup
@@ -369,7 +372,7 @@ def compute_results_runs(
     )
     lookups = [PvalueLookup(mt.pval_table) for mt in motifs]
 
-    batches = batch_runs(region_runs_list, k)
+    batches = batch_runs(region_runs_list, k, threads=cores)
     by_key = {rr.key: rr for rr in region_runs_list}
 
     if qval_t:
@@ -397,6 +400,8 @@ def compute_results_runs(
         batches, pwm_kernel, min_scores, cutoffs, k, hist_size,
         collect_hits=True,
     )
+    # deterministic report order regardless of extraction threading
+    res.hits.sort()
     if verbose:
         n_win = int(res.n_windows_per_col.max(initial=0))
         print(

@@ -266,6 +266,7 @@ def findmotif(workflow: Findmotif) -> List[str]:
                 no_reverse=workflow.no_reverse,
                 recomb=workflow.recomb,
                 verbose=workflow.verbose,
+                cores=workflow.cores,
             )
             results.update(dfs)
     else:  # per-window reference engine
