@@ -10,6 +10,8 @@ import gzip
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
 
+import numpy as np
+
 
 @dataclass
 class VcfRecord:
@@ -26,6 +28,40 @@ def _opener(fn: str):
     return gzip.open(fn, "rt") if fn.endswith(".gz") else open(fn)
 
 
+def _parse_gt_fast(sample_str: str, n_samples: int) -> Optional[np.ndarray]:
+    """Vectorised GT parse for the dominant pangenome-VCF shape: every
+    sample field is exactly ``a|b`` (or ``a/b``) with single-digit
+    alleles.  Returns allele indices per haplotype or None when the line
+    does not fit the pattern (caller falls back to the general parser)."""
+    raw = np.frombuffer(sample_str.encode("ascii"), dtype=np.uint8)
+    if raw.size != 4 * n_samples - 1:
+        return None
+    cells = np.concatenate([raw, np.frombuffer(b"\t", np.uint8)]).reshape(
+        n_samples, 4
+    )
+    a = cells[:, 0] - ord("0")
+    b = cells[:, 2] - ord("0")
+    seps_ok = (
+        ((cells[:, 1] == ord("|")) | (cells[:, 1] == ord("/"))).all()
+        and (cells[:-1, 3] == ord("\t")).all()
+    )
+    digits_ok = bool((a <= 9).all() and (b <= 9).all())
+    if not (seps_ok and digits_ok):
+        # '.' missing alleles are common enough to handle here: treat as 0
+        dot = ord(".") - ord("0")
+        if seps_ok and bool(
+            (((a <= 9) | (a == dot)) & ((b <= 9) | (b == dot))).all()
+        ):
+            a = np.where(a == dot, 0, a)
+            b = np.where(b == dot, 0, b)
+        else:
+            return None
+    out = np.empty(2 * n_samples, dtype=np.int32)
+    out[0::2] = a
+    out[1::2] = b
+    return out
+
+
 def iter_vcf_records(
     fn: str, chrom: Optional[str] = None
 ) -> Iterator[VcfRecord]:
@@ -36,11 +72,17 @@ def iter_vcf_records(
     requires phased VCFs; unphased calls are treated as listed).  Missing
     alleles (``.``) count as reference.
     """
+    n_samples: Optional[int] = None
     with _opener(fn) as handle:
         for line in handle:
             if line.startswith("#"):
+                if line.startswith("#CHROM"):
+                    n_samples = max(0, len(line.rstrip("\n").split("\t")) - 9)
                 continue
-            fields = line.rstrip("\n").split("\t")
+            line = line.rstrip("\n")
+            if chrom is not None and not line.startswith(chrom + "\t"):
+                continue
+            fields = line.split("\t", 9)
             if chrom is not None and fields[0] != chrom:
                 continue
             ref = fields[3].upper()
@@ -53,16 +95,18 @@ def iter_vcf_records(
                 for a in alts
             ):
                 continue
-            gt: Optional[List[int]] = None
-            if len(fields) > 9:
-                gt = []
-                for sample in fields[9:]:
-                    gt_str = sample.split(":", 1)[0]
-                    for al in gt_str.replace("|", "/").split("/"):
-                        if al in (".", ""):
-                            gt.append(0)
-                        else:
-                            gt.append(int(al))
+            gt = None
+            if len(fields) > 9 and n_samples:
+                gt = _parse_gt_fast(fields[9], n_samples)
+                if gt is None:  # general (slow) parse
+                    gt = []
+                    for sample in fields[9].split("\t"):
+                        gt_str = sample.split(":", 1)[0]
+                        for al in gt_str.replace("|", "/").split("/"):
+                            if al in (".", ""):
+                                gt.append(0)
+                            else:
+                                gt.append(int(al))
             yield VcfRecord(
                 chrom=fields[0],
                 pos=int(fields[1]),
