@@ -15,10 +15,11 @@ site decomposition and every downstream engine behave identically to a
 FASTA+VCF build.  Graphs with nested bubbles or non-linear structure are
 rejected with a clear error.
 
-GBWT haplotype threads are not representable in plain GFA v1 exports (vg
-keeps them in the .gbwt); imported graphs therefore carry no haplotype
-index (every window reports frequency 0, like the reference's toy GBWT) —
-pass the phased VCF to ``buildvg`` instead when frequencies matter.
+Haplotypes: plain GFA 1.0 exports (``vg view -g``) carry no GBWT threads,
+so such imports have no haplotype index (every window reports frequency 0,
+like the reference's toy GBWT).  GFA 1.1 **W lines** (walks) DO carry
+haplotypes — this importer converts them into the bitset index, and the
+exporter emits them — so graphs round-trip with frequencies intact.
 """
 
 from typing import Dict, List, Optional, Set, Tuple
@@ -29,10 +30,15 @@ from grafimo_tpu.io.vcf import VcfRecord
 
 
 def parse_gfa(path: str):
-    """Parse S/L/P lines; returns (segments, links, paths)."""
+    """Parse S/L/P/W lines; returns (segments, links, paths, walks).
+
+    ``walks`` (GFA 1.1 W lines) carry haplotypes: one entry per
+    (sample, hap-index, contig) with the ordered node list.
+    """
     segments: Dict[str, str] = {}
     links: List[Tuple[str, str, str, str]] = []
     paths: Dict[str, List[Tuple[str, str]]] = {}
+    walks: List[Tuple[str, int, str, List[str]]] = []
     with open(path) as handle:
         for line in handle:
             fields = line.rstrip("\n").split("\t")
@@ -49,13 +55,31 @@ def parse_gfa(path: str):
                     if step:
                         steps.append((step[:-1], step[-1]))
                 paths[fields[1]] = steps
-    return segments, links, paths
+            elif fields[0] == "W" and len(fields) >= 7:
+                walk = fields[6]
+                nodes = []
+                cur = ""
+                for ch in walk:
+                    if ch in "><":
+                        if cur:
+                            nodes.append(cur)
+                        cur = ""
+                    else:
+                        cur += ch
+                if cur:
+                    nodes.append(cur)
+                walks.append((fields[1], int(fields[2]), fields[3], nodes))
+    return segments, links, paths, walks
 
 
 def gfa_to_sitegraph(path: str, chrom: Optional[str] = None) -> SiteGraph:
-    """Import a vg-style GFA as a :class:`SiteGraph` (no haplotype index;
-    see module docstring)."""
-    segments, links, paths = parse_gfa(path)
+    """Import a vg-style GFA as a :class:`SiteGraph`.
+
+    GFA 1.1 W (walk) lines, when present, are converted into the haplotype
+    bitset index (one haplotype per full-length walk of the imported
+    contig); plain GFA 1.0 files import without haplotypes.
+    """
+    segments, links, paths, walks = parse_gfa(path)
     if not paths:
         raise GraphError(f"{path}: no P (path) line — cannot identify the "
                          f"reference backbone")
@@ -93,11 +117,14 @@ def gfa_to_sitegraph(path: str, chrom: Optional[str] = None) -> SiteGraph:
         succs.setdefault(u, []).append(v)
         preds.setdefault(v, []).append(u)
 
-    # collect alt alleles per (anchor_end_coord, reattach_start_coord)
-    site_alleles: Dict[Tuple[int, int], List[str]] = {}
+    # collect alt alleles per (anchor_end_coord, reattach_start_coord):
+    # (allele string, first node of its chain — None for deletions)
+    site_alleles: Dict[Tuple[int, int], List[Tuple[str, Optional[str]]]] = {}
 
-    def add_allele(span: Tuple[int, int], allele: str) -> None:
-        site_alleles.setdefault(span, []).append(allele)
+    def add_allele(
+        span: Tuple[int, int], allele: str, head: Optional[str]
+    ) -> None:
+        site_alleles.setdefault(span, []).append((allele, head))
 
     visited: Set[str] = set()
     for node in segments:
@@ -151,34 +178,108 @@ def gfa_to_sitegraph(path: str, chrom: Optional[str] = None) -> SiteGraph:
             visited.add(cur)
             chain.append(cur)
         span = (end_of[left], start_of[right])
-        add_allele(span, "".join(segments[c] for c in chain))
+        add_allele(span, "".join(segments[c] for c in chain), chain[0])
 
     # deletion edges: backbone links skipping ref nodes
     for u, uo, v, vo in links:
         if u in ref_set and v in ref_set and ref_next.get(u) != v:
             if start_of[v] <= end_of[u]:
                 raise GraphError("backward reference link")
-            add_allele((end_of[u], start_of[v]), "")
+            add_allele((end_of[u], start_of[v]), "", None)
 
     # synthesise VCF-style records (anchor-base convention; build_graph
     # re-trims) and rebuild through the standard constructor
     records: List[VcfRecord] = []
+    spans: List[Tuple[int, int]] = []
+    allele_lists: List[List[str]] = []
     for (s, e), alleles in sorted(site_alleles.items()):
         if s == 0:
             raise GraphError("variant at contig start is not representable "
                             "with an anchor base")
         anchor = seq[s - 1]
         ref_allele = anchor + seq[s:e]
-        alts = [anchor + a for a in alleles]
+        alts = [anchor + a for a, _ in alleles]
         records.append(
             VcfRecord(chrom=chrom, pos=s, ref=ref_allele, alts=alts, gt=None)
         )
+        spans.append((s, e))
+        allele_lists.append(alleles)
+
+    # haplotypes from W lines: for each full-length walk decide, per site,
+    # which allele chain the walk contains (absence of every non-empty
+    # allele's nodes means the unique empty allele: a deletion, or the
+    # reference side of an insertion)
+    contig_walks = [w for w in walks if w[2] == chrom]
+    if contig_walks:
+        ref_cover: Dict[Tuple[int, int], List[str]] = {}
+        for (s, e) in spans:
+            ref_cover[(s, e)] = [
+                n for n in ref_nodes if s <= start_of[n] < e
+            ]
+        walk_sets = [set(nodes) for (_s, _h, _c, nodes) in contig_walks]
+        for ri, (span, alleles) in enumerate(zip(spans, allele_lists)):
+            gts = []
+            for node_set in walk_sets:
+                allele_idx = None
+                for ai, (_a, head) in enumerate(alleles):
+                    if head is not None and head in node_set:
+                        allele_idx = ai + 1  # 1-based alt index
+                        break
+                if allele_idx is None:
+                    # ref nodes present -> ref; absent -> the empty alt
+                    if all(n in node_set for n in ref_cover[span]) and (
+                        ref_cover[span] or span[0] == span[1]
+                    ):
+                        allele_idx = 0
+                    else:
+                        empties = [
+                            ai + 1
+                            for ai, (a, _h) in enumerate(alleles)
+                            if a == ""
+                        ]
+                        allele_idx = empties[0] if empties else 0
+                gts.append(allele_idx)
+            records[ri].gt = gts
+        return build_graph(chrom, seq, records, with_haplotypes=True)
     return build_graph(chrom, seq, records, with_haplotypes=False)
 
 
-def sitegraph_to_gfa(graph: SiteGraph, path: str) -> None:
+def _haplotype_walks(graph: SiteGraph) -> List[Tuple[int, List[int]]]:
+    """Per-haplotype node walks derived from the bitset index."""
+    haplo = graph.haplo
+    if haplo is None:
+        return []
+    walks = []
+    for h in range(haplo.n_hap):
+        word, bit = h >> 6, h & 63
+        allele_of = {}
+        for sid, rows in enumerate(haplo.site_allele_rows):
+            allele_of[sid] = 0
+            for a, row in rows.items():
+                if (int(haplo.alt_bits[row][word]) >> bit) & 1:
+                    allele_of[sid] = a
+                    break
+        nodes: List[int] = []
+        for kind, idx in graph.elements:
+            if kind == "seg":
+                nodes.append(idx)
+            else:
+                site = graph.sites[idx]
+                a = allele_of.get(site.site_id, 0)
+                nid = site.allele_nodes[a]
+                if nid:
+                    nodes.append(nid)
+        walks.append((h, nodes))
+    return walks
+
+
+def sitegraph_to_gfa(
+    graph: SiteGraph, path: str, include_haplotypes: bool = True
+) -> None:
     """Export as GFA v1 (S/L lines for every node and edge, one P line for
-    the reference path)."""
+    the reference path, and — when a haplotype index exists and
+    ``include_haplotypes`` — one GFA 1.1 W line per haplotype so
+    frequencies survive a round trip)."""
     lines = ["H\tVN:Z:1.0"]
     for nid in range(1, graph.n_nodes + 1):
         if graph.node_seqs[nid]:
@@ -219,5 +320,12 @@ def sitegraph_to_gfa(graph: SiteGraph, path: str) -> None:
     lines.append(
         f"P\t{graph.chrom}\t" + ",".join(f"{n}+" for n in ref_path) + "\t*"
     )
+    if include_haplotypes:
+        for h, nodes in _haplotype_walks(graph):
+            walk = "".join(f">{n}" for n in nodes)
+            lines.append(
+                f"W\tsample{h // 2}\t{h % 2}\t{graph.chrom}\t0\t"
+                f"{graph.length}\t{walk}"
+            )
     with open(path, "w") as out:
         out.write("\n".join(lines) + "\n")

@@ -25,12 +25,20 @@ def _windows_no_freq(graph, rs, re_, k):
     )
 
 
+def _windows_full(graph, rs, re_, k):
+    return sorted(
+        (w.begin, w.end, w.seq, tuple(w.path), w.is_ref, w.freq)
+        for w in enumerate_region_windows(graph, rs, re_, k)
+    )
+
+
 def test_gfa_roundtrip_toy(toy_graph, tmp_path):
     p = tmp_path / "x.gfa"
     sitegraph_to_gfa(toy_graph, str(p))
     text = p.read_text()
     assert text.startswith("H\tVN:Z:1.0")
     assert "P\tx\t" in text
+    assert "W\tsample0\t0\tx\t" in text  # haplotype walks (GFA 1.1)
     g2 = gfa_to_sitegraph(str(p))
     assert g2.chrom == "x"
     assert g2.seq == toy_graph.seq
@@ -42,9 +50,18 @@ def test_gfa_roundtrip_toy(toy_graph, tmp_path):
         (s.ref_start, s.ref_end, s.alleles, s.allele_nodes)
         for s in toy_graph.sites
     ]
-    # identical window enumeration (haplotype index is not representable
-    # in GFA, so frequency is excluded)
-    assert _windows_no_freq(g2, 0, 50, 19) == _windows_no_freq(
+    # identical window enumeration INCLUDING haplotype frequencies (W
+    # lines round-trip the haplotype index)
+    assert g2.haplo is not None and g2.haplo.n_hap == 2
+    assert _windows_full(g2, 0, 50, 19) == _windows_full(
+        toy_graph, 0, 50, 19
+    )
+    # a 1.0-style export (no W lines) imports without haplotypes
+    p0 = tmp_path / "x0.gfa"
+    sitegraph_to_gfa(toy_graph, str(p0), include_haplotypes=False)
+    g0 = gfa_to_sitegraph(str(p0))
+    assert g0.haplo is None
+    assert _windows_no_freq(g0, 0, 50, 19) == _windows_no_freq(
         toy_graph, 0, 50, 19
     )
 
@@ -58,7 +75,7 @@ def test_gfa_roundtrip_indels(tmp_path):
     sitegraph_to_gfa(g, str(p))
     g2 = gfa_to_sitegraph(str(p))
     assert g2.node_seqs == g.node_seqs
-    assert _windows_no_freq(g2, 0, 300, 9) == _windows_no_freq(g, 0, 300, 9)
+    assert _windows_full(g2, 0, 300, 9) == _windows_full(g, 0, 300, 9)
 
 
 def test_gfa_import_chopped_backbone(tmp_path):
