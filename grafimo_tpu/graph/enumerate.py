@@ -45,6 +45,7 @@ class Window:
     path: List[int]  # node ids in walk order
     is_ref: bool  # all nodes on the reference path
     freq: int  # haplotype frequency (0 when no haplotype index)
+    choices: Tuple[Tuple[int, int], ...] = ()  # determined (site, allele)
 
 
 def enumerate_region_windows(
@@ -130,6 +131,7 @@ def enumerate_region_windows(
                 path=path,
                 is_ref=all(node_is_ref[n] for n in path),
                 freq=haplo.count(choices) if haplo is not None else 0,
+                choices=tuple(choices),
             )
 
     for ei in range(n_el):

@@ -265,22 +265,79 @@ def _build_backbone_run(
     )
 
 
+def window_as_run(window, k: int) -> Run:
+    """Wrap one enumerated window as a single-offset Run (the fallback
+    representation for clusters whose combination count exceeds
+    ``MAX_COMBOS_PER_CLUSTER``; the scan machinery then treats it like any
+    other run)."""
+    # node_of_base only needs to reproduce the walk's consecutive-distinct
+    # node order; every walked node consumed >= 1 base so len(path) <= k
+    nodes = np.empty(k, dtype=np.int32)
+    nodes[: len(window.path)] = window.path
+    nodes[len(window.path):] = window.path[-1]
+    pos_end = np.zeros(k + 1, dtype=np.int64)
+    pos_end[k] = window.end
+    return Run(
+        seq=window.seq,
+        valid=np.ones(1, dtype=bool),
+        pos_begin=np.array([window.begin], dtype=np.int64),
+        pos_end=pos_end,
+        node_of_base=nodes,
+        site_info=[(sid, a, 0, 0) for sid, a in window.choices],
+        region_start=0,
+        region_end=window.end,
+    )
+
+
+def _fallback_cluster_windows(
+    graph: SiteGraph,
+    cluster: Sequence[Site],
+    region_start: int,
+    region_end: int,
+    k: int,
+):
+    """Exact per-window enumeration of one over-dense cluster (every
+    window determining >= 1 of its sites), as single-window Runs."""
+    from grafimo_tpu.graph.enumerate import enumerate_region_windows
+
+    d = sum(_site_deletable(s) for s in cluster)
+    lo = max(region_start, cluster[0].ref_start - (k - 1) - d)
+    hi = min(region_end, cluster[-1].ref_end + k - 1 + d)
+    ids = {s.site_id for s in cluster}
+    for w in enumerate_region_windows(graph, lo, hi, k):
+        if not any(sid in ids for sid, _ in w.choices):
+            continue
+        if w.begin < region_start or w.end > region_end:
+            continue
+        yield window_as_run(w, k)
+
+
 def region_runs(
     graph: SiteGraph, region_start: int, region_end: int, k: int
 ) -> List[Run]:
-    """All runs for one region (backbone + cluster combinations)."""
+    """All runs for one region (backbone + cluster combinations; clusters
+    beyond the combination cap fall back to exact per-window Runs)."""
     clusters = cluster_sites(graph, region_start, region_end, k)
     runs: List[Run] = []
     bb = _build_backbone_run(graph, clusters, region_start, region_end, k)
     if bb is not None:
         runs.append(bb)
+    n_fallback = 0
     for c_idx, cluster in enumerate(clusters):
-        for x_idx, combo in enumerate(_combinations(cluster)):
-            r = _build_cluster_run(
-                graph, cluster, combo, region_start, region_end, k
-            )
-            if r is not None:
-                r.ref = (c_idx, x_idx)
+        try:
+            for x_idx, combo in enumerate(_combinations(cluster)):
+                r = _build_cluster_run(
+                    graph, cluster, combo, region_start, region_end, k
+                )
+                if r is not None:
+                    r.ref = (c_idx, x_idx)
+                    runs.append(r)
+        except OverflowError:
+            for r in _fallback_cluster_windows(
+                graph, cluster, region_start, region_end, k
+            ):
+                r.ref = (-2, n_fallback)
+                n_fallback += 1
                 runs.append(r)
     return runs
 
@@ -308,6 +365,11 @@ def build_single_run(
     from the native engine."""
     clusters = cluster_sites(graph, region_start, region_end, k)
     c_idx, x_idx = ref
+    if c_idx == -2:
+        raise KeyError(
+            "fallback window runs are only materialised eagerly (python "
+            "extraction path); cannot rebuild lazily"
+        )
     if c_idx < 0:
         return _build_backbone_run(
             graph, clusters, region_start, region_end, k

@@ -89,7 +89,7 @@ def _lib() -> ctypes.CDLL:
             lib.gt_batch_regions.argtypes = [
                 u8p, c.c_int64, c.c_int64, i64p, i64p, i64p, i32p,
                 i64p, i64p, u8p, i64p, i64p, c.c_int64, c.c_int64,
-                i64p, c.c_int64, c.c_int64, c.c_int64, i32p,
+                i64p, c.c_int64, c.c_int64, c.c_int64, i32p, i32p,
             ]
             lib.gt_batch_regions.restype = c.c_void_p
             lib.gt_batch_rows.argtypes = [c.c_void_p, i64p]
@@ -222,9 +222,11 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
     """C++ full batch pipeline: all regions of one graph -> device-ready
     bucketed, bit-packed batches.
 
-    Returns ``(per_bucket, n_skipped)`` where ``per_bucket`` maps bucket
-    length R to ``dict(packed, nbits, vbits, meta)`` (meta int32 ``(rows,
-    4)``: region_idx, cluster_idx, combo_idx, chunk_off).
+    Returns ``(per_bucket, skipped_region_indices)`` where ``per_bucket``
+    maps bucket length R to ``dict(packed, nbits, vbits, meta)`` (meta
+    int32 ``(rows, 4)``: region_idx, cluster_idx, combo_idx, chunk_off)
+    and skipped regions (over-dense clusters) must be handled by the
+    python fallback.
     """
     import ctypes as c
 
@@ -237,6 +239,7 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
     ends = np.array([r[1] for r in regions], dtype=np.int64)
     bucket_arr = np.array(sorted(buckets), dtype=np.int64)
     n_skipped = np.zeros(1, dtype=np.int32)
+    skipped_flags = np.zeros(len(regions), dtype=np.int32)
     if n_threads <= 0:
         n_threads = os.cpu_count() or 1
     handle = lib.gt_batch_regions(
@@ -253,6 +256,7 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
         c.c_int64(len(regions)), c.c_int64(k),
         bucket_arr.ctypes.data_as(i64p), c.c_int64(bucket_arr.size),
         c.c_int64(max_combos), c.c_int64(n_threads),
+        skipped_flags.ctypes.data_as(i32p),
         n_skipped.ctypes.data_as(i32p),
     )
     if not handle:
@@ -280,7 +284,7 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
             )
     finally:
         lib.gt_batch_free(handle)
-    return per_bucket, int(n_skipped[0])
+    return per_bucket, np.nonzero(skipped_flags)[0].tolist()
 
 
 def seq_tail_sums(arr: np.ndarray, starts: np.ndarray) -> np.ndarray:

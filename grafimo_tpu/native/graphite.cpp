@@ -287,7 +287,7 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
                    const int64_t* region_starts, const int64_t* region_ends,
                    int64_t k, const int64_t* bucket_sizes, int64_t n_buckets,
                    int64_t max_combos, std::atomic<int64_t>* next_region,
-                   int64_t n_regions) {
+                   int64_t n_regions, int32_t* skipped_flags) {
   const int64_t stride_base = bucket_sizes[n_buckets - 1] - k + 1;
   auto place_run = [&](const RunOut& r, int32_t region) {
     int64_t L = (int64_t)r.codes.size();
@@ -310,7 +310,10 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
     RunSet* rs = build_runs_impl(g, region_starts[ri], region_ends[ri], k,
                                  max_combos);
     if (rs->status != 0) {
+      // over-dense cluster: flagged so the caller can run the exact
+      // per-window python fallback for this region
       bs->n_skipped_regions += 1;
+      skipped_flags[ri] = 1;
       delete rs;
       continue;
     }
@@ -324,7 +327,7 @@ BatchSet* batch_regions_impl(const GraphView& g,
                              const int64_t* region_ends, int64_t n_regions,
                              int64_t k, const int64_t* bucket_sizes,
                              int64_t n_buckets, int64_t max_combos,
-                             int64_t n_threads) {
+                             int64_t n_threads, int32_t* skipped_flags) {
   n_threads = std::max<int64_t>(1, std::min(n_threads, n_regions));
   std::vector<BatchSet*> partials(n_threads);
   for (auto& p : partials) {
@@ -340,13 +343,14 @@ BatchSet* batch_regions_impl(const GraphView& g,
   if (n_threads == 1) {
     fill_batchset(partials[0], g, region_starts, region_ends, k,
                   bucket_sizes, n_buckets, max_combos, &next_region,
-                  n_regions);
+                  n_regions, skipped_flags);
   } else {
     std::vector<std::thread> workers;
     for (int64_t t = 0; t < n_threads; ++t)
       workers.emplace_back(fill_batchset, partials[t], std::cref(g),
                            region_starts, region_ends, k, bucket_sizes,
-                           n_buckets, max_combos, &next_region, n_regions);
+                           n_buckets, max_combos, &next_region, n_regions,
+                           skipped_flags);
     for (auto& w : workers) w.join();
   }
   BatchSet* bs = partials[0];
@@ -382,7 +386,8 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
                        const int64_t* region_ends, int64_t n_regions,
                        int64_t k, const int64_t* bucket_sizes,
                        int64_t n_buckets, int64_t max_combos,
-                       int64_t n_threads, int32_t* n_skipped) {
+                       int64_t n_threads, int32_t* skipped_flags,
+                       int32_t* n_skipped) {
   GraphView g;
   g.seq = seq;
   g.L = L;
@@ -395,7 +400,8 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
         {site_start[i], site_end[i], site_allele_off[i], site_n_alleles[i]});
   BatchSet* bs =
       batch_regions_impl(g, region_starts, region_ends, n_regions, k,
-                         bucket_sizes, n_buckets, max_combos, n_threads);
+                         bucket_sizes, n_buckets, max_combos, n_threads,
+                         skipped_flags);
   *n_skipped = bs->n_skipped_regions;
   return bs;
 }

@@ -187,20 +187,22 @@ def batch_runs(
             groups.setdefault(id(rr.graph), []).append(rr)
         for group in groups.values():
             try:
-                per_bucket_native, n_skipped = fn(
+                per_bucket_native, skipped_idx = fn(
                     group[0].graph,
                     [(rr.start, rr.stop) for rr in group],
                     k,
                     sorted(buckets),
                     n_threads=threads,
                 )
-                if n_skipped:
-                    import sys
-
-                    sys.stderr.write(
-                        f"\033[33mWARNING: {n_skipped} region(s) skipped "
-                        f"(allele combination cap)\033[0m\n"
-                    )
+                for ri in skipped_idx:
+                    # over-dense cluster: the python builder handles the
+                    # region exactly (per-window fallback, graph/runs.py)
+                    rr = group[ri]
+                    rr.payloads = []
+                    for run in region_runs(rr.graph, rr.start, rr.stop, k):
+                        rr.payloads.append(_payload_from_run(run))
+                        rr._run_cache[run.ref] = run
+                    python_rrs.append(rr)
                 for r_len, d in per_bucket_native.items():
                     chunks = [
                         RunChunk(
