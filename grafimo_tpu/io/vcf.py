@@ -29,10 +29,11 @@ def _opener(fn: str):
 
 
 def _parse_gt_fast(sample_str: str, n_samples: int) -> Optional[np.ndarray]:
-    """Vectorised GT parse for the dominant pangenome-VCF shape: every
-    sample field is exactly ``a|b`` (or ``a/b``) with single-digit
-    alleles.  Returns allele indices per haplotype or None when the line
-    does not fit the pattern (caller falls back to the general parser)."""
+    """Vectorised GT parse for the dominant pangenome-VCF shape (every
+    sample field exactly ``a|b`` / ``a/b`` with single-digit alleles).
+    Returns allele indices per haplotype or None when the line does not
+    fit (the caller then tries the native parser, then the general one —
+    see :func:`iter_vcf_records`)."""
     raw = np.frombuffer(sample_str.encode("ascii"), dtype=np.uint8)
     if raw.size != 4 * n_samples - 1:
         return None
@@ -98,6 +99,15 @@ def iter_vcf_records(
             gt = None
             if len(fields) > 9 and n_samples:
                 gt = _parse_gt_fast(fields[9], n_samples)
+                if gt is None:  # irregular line: native parser
+                    try:
+                        from grafimo_tpu.native import vcf_parse_gt
+
+                        gt = vcf_parse_gt(
+                            fields[9].encode("ascii"), 2 * n_samples
+                        )
+                    except Exception:
+                        gt = None
                 if gt is None:  # general (slow) parse
                     gt = []
                     for sample in fields[9].split("\t"):

@@ -68,6 +68,10 @@ def _lib() -> ctypes.CDLL:
             )
             lib.seq_tail_sums.argtypes = [f64p, c.c_int64, i64p, c.c_int64, f64p]
             lib.seq_tail_sums.restype = None
+            lib.vcf_parse_gt.argtypes = [
+                u8p, c.c_int64, i32p, c.c_int64,
+            ]
+            lib.vcf_parse_gt.restype = c.c_int64
             lib.gt_build_runs.argtypes = [
                 u8p, c.c_int64, c.c_int64, i64p, i64p, i64p, i32p,
                 i64p, i64p, u8p, c.c_int64, c.c_int64, c.c_int64,
@@ -285,6 +289,26 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
     finally:
         lib.gt_batch_free(handle)
     return per_bucket, np.nonzero(skipped_flags)[0].tolist()
+
+
+def vcf_parse_gt(sample_block: bytes, n_expected: int):
+    """Parse a VCF sample block into allele indices per haplotype (C++).
+
+    Returns an int32 array or None when the block is malformed / yields a
+    different haplotype count than expected."""
+    import ctypes as c
+
+    lib = _lib()
+    out = np.empty(n_expected + 8, dtype=np.int32)
+    n = lib.vcf_parse_gt(
+        c.cast(c.c_char_p(sample_block), c.POINTER(c.c_uint8)),
+        c.c_int64(len(sample_block)),
+        out.ctypes.data_as(c.POINTER(c.c_int32)),
+        c.c_int64(out.size),
+    )
+    if n != n_expected:
+        return None
+    return out[:n_expected]
 
 
 def seq_tail_sums(arr: np.ndarray, starts: np.ndarray) -> np.ndarray:

@@ -497,4 +497,48 @@ void seq_tail_sums(const double* arr, int64_t n, const int64_t* starts,
   }
 }
 
+// Parse one VCF sample block ("GT[:...]\tGT[:...]\t...") into allele
+// indices per haplotype (2 per diploid sample; '.' -> 0, multi-digit
+// alleles and extra FORMAT fields handled).  Returns the number of
+// haplotype entries written, or -1 on malformed input.
+int64_t vcf_parse_gt(const uint8_t* buf, int64_t len, int32_t* out,
+                     int64_t out_cap) {
+  int64_t n = 0;
+  int64_t i = 0;
+  while (i < len) {
+    // one sample field: alleles separated by | or /, ended by ':' field
+    // separator (rest of the field skipped) or '\t' / end
+    while (true) {
+      int32_t val = 0;
+      bool any = false;
+      if (i < len && buf[i] == '.') {
+        val = 0;
+        any = true;
+        ++i;
+      } else {
+        while (i < len && buf[i] >= '0' && buf[i] <= '9') {
+          val = val * 10 + (buf[i] - '0');
+          ++i;
+          any = true;
+        }
+      }
+      if (!any) return -1;
+      if (n >= out_cap) return -1;
+      out[n++] = val;
+      if (i >= len) return n;
+      uint8_t c = buf[i];
+      if (c == '|' || c == '/') {
+        ++i;
+        continue;
+      }
+      if (c == ':') {  // skip remaining FORMAT fields of this sample
+        while (i < len && buf[i] != '\t') ++i;
+      }
+      if (i < len && buf[i] == '\t') ++i;
+      break;
+    }
+  }
+  return n;
+}
+
 }  // extern "C"
