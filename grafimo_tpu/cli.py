@@ -149,6 +149,11 @@ def get_parser() -> argparse.ArgumentParser:
         help="write a jax profiler trace of the scan phase to this "
              "directory",
     )
+    find.add_argument(
+        "--cache-dir", type=str, default="", dest="cache_dir",
+        help="persist/reuse extracted scan batches (checkpoint/resume for "
+             "large scans)",
+    )
     return parser
 
 
@@ -204,6 +209,7 @@ def args_to_workflow(args: argparse.Namespace):
         debug=args.debug,
         engine=args.engine,
         profile_dir=args.profile_dir,
+        cache_dir=args.cache_dir,
     )
 
 

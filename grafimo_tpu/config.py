@@ -65,6 +65,9 @@ class Findmotif:
     engine: str = "runs"
     # when set, write a jax profiler trace of the scan phase here
     profile_dir: str = ""
+    # when set, persist/reuse device-ready scan batches per
+    # (graphs, regions, width) under this directory (checkpoint/resume)
+    cache_dir: str = ""
 
     def has_graphgenome(self) -> bool:
         return bool(self.graph_genome)

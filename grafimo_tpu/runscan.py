@@ -157,6 +157,64 @@ def build_region_runs(
     return out
 
 
+def save_batches(
+    path: str, batches: List[DeviceBatch], region_keys: List[str]
+) -> None:
+    """Persist device-ready batches as a scan checkpoint (SURVEY.md §5.4:
+    the reference had none — its tmp TSV dir was an implicit, deleted
+    intermediate; this is an explicit, reusable one)."""
+    key_index = {key: i for i, key in enumerate(region_keys)}
+    arrays = {
+        "region_keys": np.frombuffer(
+            "\n".join(region_keys).encode("utf-8"), dtype=np.uint8
+        ),
+        "n_batches": np.array([len(batches)], dtype=np.int64),
+    }
+    for bi, b in enumerate(batches):
+        meta = np.array(
+            [
+                (
+                    key_index[c.source[0]], c.source[1][0], c.source[1][1],
+                    c.chunk_off,
+                )
+                for c in b.chunks
+            ],
+            dtype=np.int32,
+        ).reshape(-1, 4)
+        arrays[f"b{bi}_R"] = np.array([b.R], dtype=np.int64)
+        arrays[f"b{bi}_packed"] = b.packed
+        arrays[f"b{bi}_nbits"] = b.nbits
+        arrays[f"b{bi}_vbits"] = b.vbits
+        arrays[f"b{bi}_meta"] = meta
+    np.savez_compressed(path, **arrays)
+
+
+def load_batches(path: str) -> Tuple[List[DeviceBatch], List[str]]:
+    """Load a scan checkpoint written by :func:`save_batches`."""
+    with np.load(path) as data:
+        region_keys = bytes(data["region_keys"]).decode("utf-8").split("\n")
+        batches = []
+        for bi in range(int(data["n_batches"][0])):
+            meta = data[f"b{bi}_meta"]
+            chunks = [
+                RunChunk(
+                    (region_keys[int(m[0])], (int(m[1]), int(m[2]))),
+                    int(m[3]),
+                )
+                for m in meta
+            ]
+            batches.append(
+                DeviceBatch(
+                    R=int(data[f"b{bi}_R"][0]),
+                    packed=data[f"b{bi}_packed"],
+                    nbits=data[f"b{bi}_nbits"],
+                    vbits=data[f"b{bi}_vbits"],
+                    chunks=chunks,
+                )
+            )
+    return batches, region_keys
+
+
 def _native_batcher():
     """The C++ batch pipeline entry, or None when unavailable."""
     try:
@@ -351,6 +409,7 @@ def compute_results_runs(
     recomb: bool = False,
     verbose: bool = False,
     cores: int = 0,
+    cache_path: Optional[str] = None,
 ) -> Dict[str, pd.DataFrame]:
     """Scan once, report per motif.  All motifs must share one width."""
     from grafimo_tpu.ops.device import start_device_warmup
@@ -374,7 +433,32 @@ def compute_results_runs(
     )
     lookups = [PvalueLookup(mt.pval_table) for mt in motifs]
 
-    batches = batch_runs(region_runs_list, k, threads=cores)
+    import os
+
+    if cache_path and os.path.isfile(cache_path):
+        batches, _keys = load_batches(cache_path)
+        if verbose:
+            print(f"loaded scan checkpoint {cache_path}")
+        # fallback single-window runs (-2 refs) are only reconstructible
+        # from eagerly-built python payloads; rebuild for those regions
+        fb_keys = {
+            c.source[0]
+            for b in batches
+            for c in b.chunks
+            if c.source[1][0] == -2
+        }
+        for rr in region_runs_list:
+            if rr.key in fb_keys and not rr._run_cache:
+                for run in region_runs(rr.graph, rr.start, rr.stop, k):
+                    rr._run_cache[run.ref] = run
+    else:
+        batches = batch_runs(region_runs_list, k, threads=cores)
+        if cache_path:
+            save_batches(
+                cache_path, batches, [rr.key for rr in region_runs_list]
+            )
+            if verbose:
+                print(f"wrote scan checkpoint {cache_path}")
     by_key = {rr.key: rr for rr in region_runs_list}
 
     if qval_t:

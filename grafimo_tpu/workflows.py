@@ -186,6 +186,35 @@ def _load_graphs(
     return graphs
 
 
+def _scan_cache_path(workflow: Findmotif, regions, width: int) -> str:
+    """Checkpoint file for one (graph inputs, region set, width); keyed by
+    graph paths + mtimes so edited graphs invalidate the cache."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(b"scan-cache-v1")
+    sources = []
+    if workflow.has_graphgenome():
+        sources.append(workflow.graph_genome)
+    else:
+        for chrom in sorted(regions):
+            sources.append(_resolve_graph_path(workflow, chrom))
+    for p in sources:
+        try:
+            h.update(f"{p}:{os.path.getmtime(p)}".encode())
+        except OSError:
+            h.update(p.encode())
+    for chrom in sorted(regions):
+        h.update(chrom.encode())
+        for s, e in regions[chrom]:
+            h.update(f"{s}-{e};".encode())
+    h.update(str(width).encode())
+    os.makedirs(workflow.cache_dir, exist_ok=True)
+    return os.path.join(
+        workflow.cache_dir, f"scan_{h.hexdigest()[:20]}.npz"
+    )
+
+
 def findmotif(workflow: Findmotif) -> List[str]:
     """Scan the variation graph(s) for motif occurrences
     (reference ``findmotif``, ``grafimo.py:80-192``); returns the written
@@ -240,6 +269,9 @@ def findmotif(workflow: Findmotif) -> List[str]:
                 region_runs_list.extend(
                     build_region_runs(graph, display, regions[chrom], width)
                 )
+            cache_path = None
+            if workflow.cache_dir:
+                cache_path = _scan_cache_path(workflow, regions, width)
             if workflow.verbose:
                 materialised = [
                     r for r in region_runs_list if r.payloads is not None
@@ -267,6 +299,7 @@ def findmotif(workflow: Findmotif) -> List[str]:
                 recomb=workflow.recomb,
                 verbose=workflow.verbose,
                 cores=workflow.cores,
+                cache_path=cache_path,
             )
             results.update(dfs)
     else:  # per-window reference engine
