@@ -131,6 +131,49 @@ def scan_runs_device(
     )
 
 
+@partial(
+    jax.jit, static_argnames=("k", "hist_size", "topk"), donate_argnums=(0,)
+)
+def scan_runs_device_topk(
+    hist_acc, packed, nbits, vbits, pwm_kernel, min_scores, cutoffs,
+    k: int, hist_size: int, topk: int,
+):
+    """Accumulating scan with on-device hit compaction.
+
+    Hits are returned as the ``topk`` largest flat indices of the masked
+    score tensor — a few KB on the wire instead of the full hit bitmask.
+    When a slice holds more than ``topk`` hits (``n_hits`` says so), the
+    caller falls back to fetching ``hitbits``.  Flat index layout is
+    C-order over ``(row, offset, motif)``.
+    """
+    hist, hitbits = _scan_core(
+        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+    )
+    n_hits = jnp.sum(
+        jax.lax.population_count(hitbits.astype(jnp.uint32))
+    ).astype(jnp.int32)
+    b, w4 = packed.shape
+    noff = w4 * 4 - k + 1
+    m = pwm_kernel.shape[-1]
+    # rebuild the hit predicate from the packed bits to avoid re-deriving
+    # scores: unpack hitbits (cheap) and flatten
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (hitbits[:, :, None, :] >> shifts[None, None, :, None]) & 1
+    bits = bits.reshape(b, -1, m)[:, :noff, :]
+    flat = bits.reshape(-1).astype(jnp.int32)
+    # top-k over the 0/1 predicate weighted by index recency would lose
+    # order; instead weight hits by their flat position so indices decode
+    # directly: value = flat_index + 1 for hits, 0 otherwise
+    idx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
+    vals = jnp.where(flat > 0, idx + 1, 0)
+    # when the slice has fewer positions than topk, every hit fits anyway
+    top_vals, _ = jax.lax.top_k(vals, min(topk, vals.shape[0]))
+    return (
+        hist_acc + hist.astype(hist_acc.dtype), hitbits, n_hits,
+        top_vals,  # hit flat indices + 1, descending; 0 = empty slot
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "hist_size"), donate_argnums=(0,))
 def scan_runs_device_acc(
     hist_acc, packed, nbits, vbits, pwm_kernel, min_scores, cutoffs,

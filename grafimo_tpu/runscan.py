@@ -43,6 +43,9 @@ from grafimo_tpu.report.results import apply_report_filters, build_results_df
 from grafimo_tpu.utils.constants import RANGE
 
 BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+# device-batch size cap: rows are sliced so rows*R stays under this many
+# bases per dispatch (bounds the one-hot / scores HBM footprint)
+MAX_BASES_PER_DISPATCH = 1 << 22
 _SEQ_LUT = np.full(256, 0, dtype=np.uint8)
 for _i, _c in enumerate("ACGT"):
     _SEQ_LUT[ord(_c)] = _i
@@ -346,8 +349,9 @@ def scan_batches(
 ) -> RunScanResult:
     import jax.numpy as jnp
 
-    from grafimo_tpu.ops.score_runs import scan_runs_device_acc
+    from grafimo_tpu.ops.score_runs import scan_runs_device_topk
 
+    TOPK = 1 << 13
     m = pwm_kernel.shape[-1]
     hits: List[Tuple[Tuple[str, int], int, int]] = []
     t0 = time.perf_counter()
@@ -357,25 +361,39 @@ def scan_batches(
     hist_acc = jnp.zeros((hist_size, m), jnp.int32)
     pending = []
     for batch in batches:
-        hist_acc, hitbits, n_hits = scan_runs_device_acc(
-            hist_acc, batch.packed, batch.nbits, batch.vbits,
-            pwm_kernel, min_scores.astype(np.int32),
-            cutoffs.astype(np.int32), k, hist_size,
-        )
-        if collect_hits:
-            n_hits.copy_to_host_async()
-        pending.append((batch, hitbits, n_hits))
+        # slice large batches so device intermediates stay bounded
+        rows_per = max(1, MAX_BASES_PER_DISPATCH // batch.R)
+        for lo in range(0, batch.packed.shape[0], rows_per):
+            hi = min(lo + rows_per, batch.packed.shape[0])
+            hist_acc, hitbits, n_hits, top_idx = scan_runs_device_topk(
+                hist_acc, batch.packed[lo:hi], batch.nbits[lo:hi],
+                batch.vbits[lo:hi],
+                pwm_kernel, min_scores.astype(np.int32),
+                cutoffs.astype(np.int32), k, hist_size, TOPK,
+            )
+            if collect_hits:
+                n_hits.copy_to_host_async()
+            pending.append((batch, lo, hitbits, n_hits, top_idx))
     hist_total = np.asarray(hist_acc).astype(np.int64)
-    for batch, hitbits, n_hits in pending:
-        if collect_hits and int(n_hits) > 0:
-            noff = batch.R - k + 1
+    for batch, row0, hitbits, n_hits, top_idx in pending:
+        nh = int(n_hits) if collect_hits else 0
+        if nh == 0:
+            continue
+        noff = batch.R - k + 1
+        if nh <= TOPK:
+            # compacted path: a few KB of flat indices per slice
+            flat = np.asarray(top_idx)[:nh] - 1
+            rows, rem = np.divmod(flat, noff * m)
+            offs, cols = np.divmod(rem, m)
+        else:
+            # dense slice: fall back to the full bitmask
             mask = unpack_hitbits(np.asarray(hitbits), noff)
             rows, offs, cols = np.nonzero(mask)
-            for row, off, col in zip(
-                rows.tolist(), offs.tolist(), cols.tolist()
-            ):
-                chunk = batch.chunks[row]
-                hits.append((chunk.source, chunk.chunk_off + off, col))
+        for row, off, col in zip(
+            rows.tolist(), offs.tolist(), cols.tolist()
+        ):
+            chunk = batch.chunks[row0 + row]
+            hits.append((chunk.source, chunk.chunk_off + off, col))
     dt = time.perf_counter() - t0
     return RunScanResult(
         hists=hist_total,
