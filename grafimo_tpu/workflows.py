@@ -121,14 +121,21 @@ def buildvg(workflow: BuildVG) -> List[str]:
 
 def _resolve_graph_path(workflow: Findmotif, chrom: str) -> str:
     """Map a BED chromosome name to its graph file (reference name-map /
-    prefix translation, ``extract_regions.py:135-226``)."""
+    prefix translation, ``extract_regions.py:135-226``).  Native ``.gvt``
+    graphs take precedence; a vg-exported ``.gfa`` is accepted too."""
     c = chrom[3:] if chrom.startswith("chr") else chrom
     if workflow.namemap:
         c = workflow.namemap.get(c, c)
         name = c
     else:
         name = f"{workflow.chroms_prefix}{c}"
-    return os.path.join(workflow.graph_genome_dir, f"{name}{GVT_SUFFIX}")
+    gvt = os.path.join(workflow.graph_genome_dir, f"{name}{GVT_SUFFIX}")
+    if os.path.isfile(gvt):
+        return gvt
+    gfa = os.path.join(workflow.graph_genome_dir, f"{name}.gfa")
+    if os.path.isfile(gfa):
+        return gfa
+    return gvt
 
 
 def _display_chrom(workflow: Findmotif, chrom: str) -> str:
@@ -182,7 +189,7 @@ def _load_graphs(
                 f'"chr"? Consider --chroms-prefix-find or '
                 f"--chroms-namemap-find"
             )
-        graphs[chrom] = (_display_chrom(workflow, chrom), SiteGraph.load(path))
+        graphs[chrom] = (_display_chrom(workflow, chrom), load_graph_file(path))
     return graphs
 
 
