@@ -361,8 +361,12 @@ def scan_batches(
     hist_acc = jnp.zeros((hist_size, m), jnp.int32)
     pending = []
     for batch in batches:
-        # slice large batches so device intermediates stay bounded
-        rows_per = max(1, MAX_BASES_PER_DISPATCH // batch.R)
+        # slice large batches so device intermediates stay bounded; the
+        # dominant intermediates scale with rows*R (one-hot) AND with
+        # rows*noff*M (scores / hit predicates), so shrink slices as the
+        # motif-column count grows
+        budget = MAX_BASES_PER_DISPATCH // max(1, m // 4)
+        rows_per = max(1, budget // batch.R)
         for lo in range(0, batch.packed.shape[0], rows_per):
             hi = min(lo + rows_per, batch.packed.shape[0])
             hist_acc, hitbits, n_hits, top_idx = scan_runs_device_topk(
