@@ -249,6 +249,15 @@ def _haplotype_walks(graph: SiteGraph) -> List[Tuple[int, List[int]]]:
     haplo = graph.haplo
     if haplo is None:
         return []
+    if haplo.n_hap * max(1, len(graph.sites)) > 50_000_000:
+        import sys
+
+        sys.stderr.write(
+            "\033[33mWARNING: skipping W-line export "
+            f"({haplo.n_hap} haplotypes x {len(graph.sites)} sites is too "
+            "large); re-export with include_haplotypes=False to silence\033[0m\n"
+        )
+        return []
     walks = []
     for h in range(haplo.n_hap):
         word, bit = h >> 6, h & 63
