@@ -21,7 +21,6 @@ Bit-parity notes
   in :mod:`grafimo_tpu.native`, pure-python fallback).
 """
 
-from functools import lru_cache
 from typing import Dict, Iterable
 
 import numpy as np
@@ -104,6 +103,7 @@ class PvalueLookup:
         self.table = np.ascontiguousarray(pval_table, dtype=np.float64)
         self.tot = sequential_sum(self.table, 0)
         self._cache: Dict[int, float] = {}
+        self._cutoffs: Dict[float, int] = {}
 
     def pvalues(self, scores: Iterable[int]) -> np.ndarray:
         """Vectorised p-values for an int array of scores."""
@@ -120,7 +120,6 @@ class PvalueLookup:
     def pvalue(self, score: int) -> float:
         return float(self.pvalues(np.array([score]))[0])
 
-    @lru_cache(maxsize=None)
     def score_cutoff(self, threshold: float) -> int:
         """Smallest integer score whose p-value is < ``threshold``.
 
@@ -129,17 +128,22 @@ class PvalueLookup:
         comparison the TPU can fuse into the scoring kernel.  Returns
         ``len(table)`` when no score passes.
         """
-        lo, hi = 0, len(self.table)  # invariant: p(lo-..) >= t, search space
+        cached = self._cutoffs.get(threshold)
+        if cached is not None:
+            return cached
         if self.pvalue(0) < threshold:
-            return 0
-        if self.pvalue(len(self.table) - 1) >= threshold:
-            return len(self.table)
-        # binary search for first s with p(s) < threshold
-        lo, hi = 0, len(self.table) - 1
-        while hi - lo > 1:
-            mid = (lo + hi) // 2
-            if self.pvalue(mid) < threshold:
-                hi = mid
-            else:
-                lo = mid
-        return hi
+            result = 0
+        elif self.pvalue(len(self.table) - 1) >= threshold:
+            result = len(self.table)
+        else:
+            # binary search for the first s with p(s) < threshold
+            lo, hi = 0, len(self.table) - 1
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if self.pvalue(mid) < threshold:
+                    hi = mid
+                else:
+                    lo = mid
+            result = hi
+        self._cutoffs[threshold] = result
+        return result
