@@ -359,6 +359,11 @@ def scan_batches(
     # fetched asynchronously per batch — one device->host histogram
     # round-trip per scan, not per batch
     hist_acc = jnp.zeros((hist_size, m), jnp.int32)
+    hist_host = np.zeros((hist_size, m), dtype=np.int64)
+    # flush the device accumulator to the int64 host total periodically:
+    # a genome-scale scan can push single int32 bins toward overflow
+    FLUSH_EVERY = 4096
+    since_flush = 0
     pending = []
     for batch in batches:
         # slice large batches so device intermediates stay bounded; the
@@ -378,7 +383,12 @@ def scan_batches(
             if collect_hits:
                 n_hits.copy_to_host_async()
             pending.append((batch, lo, hitbits, n_hits, top_idx))
-    hist_total = np.asarray(hist_acc).astype(np.int64)
+            since_flush += 1
+            if since_flush >= FLUSH_EVERY:
+                hist_host += np.asarray(hist_acc).astype(np.int64)
+                hist_acc = jnp.zeros((hist_size, m), jnp.int32)
+                since_flush = 0
+    hist_total = hist_host + np.asarray(hist_acc).astype(np.int64)
     for batch, row0, hitbits, n_hits, top_idx in pending:
         nh = int(n_hits) if collect_hits else 0
         if nh == 0:

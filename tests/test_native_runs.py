@@ -9,6 +9,10 @@ from grafimo_tpu.io.fasta import read_fasta
 from grafimo_tpu.io.vcf import iter_vcf_records
 
 native = pytest.importorskip("grafimo_tpu.native")
+try:
+    native._lib()
+except Exception as _e:  # pragma: no cover - env without g++/native
+    pytest.skip(f"native engine unavailable: {_e}", allow_module_level=True)
 
 
 def _codes_of(run):
