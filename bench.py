@@ -25,7 +25,9 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _device_main() -> None:
+    """The actual device benchmark (may hang if the TPU tunnel is down —
+    run via :func:`main`'s watchdog)."""
     import os
 
     import jax
@@ -132,6 +134,117 @@ def main() -> None:
         f"up={up_bytes / dt / 1e6:.0f}MB/s "
         f"hist_checksum={int(hist_total.sum())}",
         file=sys.stderr,
+    )
+
+
+def main() -> None:
+    """Run the device benchmark under a watchdog subprocess.
+
+    The TPU tunnel in this environment can stall indefinitely (including
+    during backend init, outside any interruptible python frame).  When
+    that happens, emit an honest CPU-backend fallback measurement with a
+    unit string that says so, instead of producing no output at all.
+    """
+    import os
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("GRAFIMO_BENCH_INNER") == "1":
+        _device_main()
+        return
+    env = dict(os.environ)
+    env["GRAFIMO_BENCH_INNER"] = "1"
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-u", os.path.abspath(__file__)],
+            env=env, timeout=int(os.environ.get("GRAFIMO_BENCH_TIMEOUT",
+                                                "2400")),
+            capture_output=True, text=True,
+        )
+        json_lines = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode == 0 and json_lines:
+            print(json_lines[0])
+            _sys.stderr.write(proc.stderr)
+            return
+        _sys.stderr.write(proc.stderr)
+        _sys.stderr.write(
+            f"# device bench failed (rc={proc.returncode}); "
+            "falling back to CPU backend\n"
+        )
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            _sys.stderr.write(
+                e.stderr if isinstance(e.stderr, str)
+                else e.stderr.decode(errors="replace")
+            )
+        _sys.stderr.write(
+            "# device bench timed out (TPU tunnel unreachable); "
+            "falling back to CPU backend\n"
+        )
+    # honest fallback: same pipeline measured on the host CPU backend
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _cpu_fallback()
+
+
+def _cpu_fallback() -> None:
+    from grafimo_tpu.models.parse import load_motifs
+    from grafimo_tpu.models.pvalue import PvalueLookup
+    from grafimo_tpu.ops.score_jax import reverse_complement_pwm
+    from grafimo_tpu.ops.score_runs import (
+        pack_bits, pack_run_seqs, pwms_to_conv_kernel, scan_runs_device,
+    )
+    from grafimo_tpu.utils.constants import UNIF
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    motif = load_motifs(
+        os.path.join(here, "tests", "data", "input", "MA0139.1.meme"),
+        UNIF, 0.1, False,
+    )[0]
+    k = motif.width
+    hist_size = 1000 * k + 1
+    kernel = pwms_to_conv_kernel(
+        [motif.score_matrix, reverse_complement_pwm(motif.score_matrix)]
+    )
+    mins = np.array([motif.min_score] * 2, dtype=np.int32)
+    cuts = np.array([PvalueLookup(motif.pval_table).score_cutoff(1e-4)] * 2,
+                    dtype=np.int32)
+    B, R = 64, 2048
+    noff = R - k + 1
+    rng = np.random.default_rng(0)
+    batches = [
+        (
+            pack_run_seqs(rng.integers(0, 4, (B, R)).astype(np.uint8)),
+            pack_bits(np.zeros((B, R), bool)),
+            pack_bits(np.ones((B, noff), bool)),
+        )
+        for _ in range(6)
+    ]
+    import jax
+
+    h, hb = scan_runs_device(*batches[0], kernel, mins, cuts, k, hist_size)
+    jax.block_until_ready((h, hb))
+    t0 = time.perf_counter()
+    for i in range(1, len(batches)):
+        h, hb = scan_runs_device(
+            *batches[i], kernel, mins, cuts, k, hist_size
+        )
+        np.asarray(h)
+    dt = time.perf_counter() - t0
+    windows_per_s = B * noff * 2 * (len(batches) - 1) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "windows_scored_per_s_per_chip",
+                "value": round(windows_per_s, 1),
+                "unit": "windows/s (CPU fallback; TPU unreachable)",
+                "vs_baseline": round(windows_per_s / 5e3, 1),
+            }
+        )
     )
 
 
