@@ -83,7 +83,19 @@ def _site_deletable(site: Site) -> int:
 def cluster_sites(
     graph: SiteGraph, region_start: int, region_end: int, k: int
 ) -> List[List[Site]]:
-    """Group region-relevant sites into window-disjoint clusters."""
+    """Group region-relevant sites into window-disjoint clusters.
+
+    Memoised per (region, k) on the graph: lazy hit reconstruction calls
+    this once per hit-containing run and chromosome-scale regions hold
+    hundreds of thousands of sites.
+    """
+    memo = getattr(graph, "_cluster_cache", None)
+    if memo is None:
+        memo = graph._cluster_cache = {}
+    key = (region_start, region_end, k)
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     starts, ends = graph.site_spans()
     i0 = int(np.searchsorted(ends, region_start, side="left"))
     i1 = int(np.searchsorted(starts, region_end, side="right"))
@@ -97,6 +109,7 @@ def cluster_sites(
         else:
             clusters.append([s])
             d_cur = _site_deletable(s)
+    memo[key] = clusters
     return clusters
 
 
