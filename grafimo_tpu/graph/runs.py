@@ -243,17 +243,25 @@ def _build_backbone_run(
     if L < k:
         return None
     n_off = L - k + 1
-    offs = np.arange(n_off) + lo  # begin coordinate per offset
-    valid = np.ones(n_off, dtype=bool)
+    # difference-array sweep over determined intervals: O(sites + L)
+    # (offsets are begin coordinates lo + o)
+    mark = np.zeros(n_off + 1, dtype=np.int32)
     for cl in clusters:
         for site in cl:
             if site.ref_end > site.ref_start:
                 # window overlaps the site's ref span -> determined
-                det = (offs + k > site.ref_start) & (offs < site.ref_end)
+                d_lo = site.ref_start - k + 1 - lo
+                d_hi = site.ref_end - 1 - lo
             else:
                 # insertion: determined when crossing the junction
-                det = (offs < site.ref_start) & (offs + k > site.ref_start)
-            valid &= ~det
+                d_lo = site.ref_start - k + 1 - lo
+                d_hi = site.ref_start - 1 - lo
+            d_lo = max(d_lo, 0)
+            d_hi = min(d_hi, n_off - 1)
+            if d_lo <= d_hi:
+                mark[d_lo] += 1
+                mark[d_hi + 1] -= 1
+    valid = np.cumsum(mark[:-1]) == 0
     if not valid.any():
         return None
     node_of_base = np.zeros(L, dtype=np.int32)
