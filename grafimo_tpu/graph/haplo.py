@@ -66,8 +66,10 @@ class HaploIndex:
     def from_genotypes(
         n_hap: int, site_gts: Sequence[Optional[Sequence[int]]]
     ) -> "HaploIndex":
-        """Build from per-site allele-index-per-haplotype vectors
-        (``None`` for sites without genotype data -> no carriers)."""
+        """Build from per-site genotypes: either allele-index-per-haplotype
+        vectors, or pre-built ``{allele: uint64 bitset words}`` dicts (the
+        native VCF scanner's output, ``native/vcfio.cpp``); ``None`` for
+        sites without genotype data -> no carriers."""
         words = (n_hap + 63) // 64
 
         def to_words(mask: np.ndarray) -> np.ndarray:
@@ -82,7 +84,16 @@ class HaploIndex:
         bits: List[np.ndarray] = []
         for gts in site_gts:
             site_rows: Dict[int, int] = {}
-            if gts is not None:
+            if isinstance(gts, dict):
+                for a in sorted(gts):
+                    src = np.asarray(gts[a], dtype=np.uint64)
+                    row = np.zeros(words, dtype=np.uint64)
+                    n = min(words, src.size)
+                    row[:n] = src[:n]
+                    if row.any():  # unique(arr[arr>0]) keeps carried alleles
+                        site_rows[int(a)] = len(bits)
+                        bits.append(row)
+            elif gts is not None:
                 arr = np.asarray(gts, dtype=np.int32)[:n_hap]
                 for a in np.unique(arr[arr > 0]).tolist():
                     site_rows[int(a)] = len(bits)

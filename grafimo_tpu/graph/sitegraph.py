@@ -213,7 +213,9 @@ def build_graph(
             )
         )
         site_gts.append(
-            np.asarray(gt, dtype=np.int32) if gt is not None else None
+            gt
+            if gt is None or isinstance(gt, dict)
+            else np.asarray(gt, dtype=np.int32)
         )
         last_end = max(last_end, end0)
 
@@ -260,8 +262,15 @@ def build_graph(
     haplo = None
     if with_haplotypes:
         if n_hap is None:
+            # bitset dicts carry no length — the native path supplies
+            # n_hap explicitly (workflows.buildvg)
             n_hap = max(
-                (len(g) for g in site_gts if g is not None), default=0
+                (
+                    len(g)
+                    for g in site_gts
+                    if g is not None and not isinstance(g, dict)
+                ),
+                default=0,
             )
         if n_hap:
             haplo = HaploIndex.from_genotypes(n_hap, site_gts)

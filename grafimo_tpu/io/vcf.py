@@ -7,8 +7,9 @@ per-haplotype phased genotype matrix.
 """
 
 import gzip
+import os
 from dataclasses import dataclass
-from typing import Iterator, List, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -19,13 +20,19 @@ class VcfRecord:
     pos: int  # 1-based
     ref: str
     alts: List[str]
-    # allele index per haplotype (0=ref, 1..=alts); length = 2 * n_samples
-    # for diploid phased samples; None when the VCF has no samples
-    gt: Optional[List[int]]
+    # genotypes, one of:
+    #   * allele index per haplotype (0=ref, 1..=alts), length 2*n_samples
+    #     for diploid phased samples (python reader);
+    #   * dict {allele_idx: uint64 haplotype-bitset words} — the HaploIndex
+    #     row layout, produced by the native scanner (native/vcfio.cpp);
+    #   * None when the VCF has no samples.
+    gt: object
 
 
 def _opener(fn: str):
-    return gzip.open(fn, "rt") if fn.endswith(".gz") else open(fn)
+    with open(fn, "rb") as f:
+        magic = f.read(2)
+    return gzip.open(fn, "rt") if magic == b"\x1f\x8b" else open(fn)
 
 
 def _parse_gt_fast(sample_str: str, n_samples: int) -> Optional[np.ndarray]:
@@ -124,6 +131,26 @@ def iter_vcf_records(
                 alts=alts,
                 gt=gt,
             )
+
+
+def read_vcf_records(
+    fn: str, chrom: str
+) -> Tuple[List[VcfRecord], Optional[int]]:
+    """Read one chromosome's records, preferring the threaded native
+    scanner (``native/vcfio.cpp``: parallel BGZF inflate + parallel GT →
+    haplotype-bitset parse); falls back to :func:`iter_vcf_records`.
+
+    Returns ``(records, n_hap)`` — ``n_hap`` is known only on the native
+    path (``None`` tells the graph builder to infer it from GT lengths).
+    """
+    if not os.environ.get("GRAFIMO_TPU_NO_NATIVE"):
+        try:
+            from grafimo_tpu.native import vcf_scan_native
+
+            return vcf_scan_native(fn, chrom)
+        except Exception:
+            pass
+    return list(iter_vcf_records(fn, chrom)), None
 
 
 def vcf_chroms(fn: str) -> List[str]:

@@ -17,15 +17,21 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "graphite.cpp")
+_SRCS = [
+    os.path.join(_HERE, "graphite.cpp"),
+    os.path.join(_HERE, "vcfio.cpp"),
+]
 _LOCK = threading.Lock()
 _LIB = None
 _LIB_ERR = None
 
 
 def _build_lib() -> ctypes.CDLL:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     build_dir = os.path.join(_HERE, "_build")
     os.makedirs(build_dir, exist_ok=True)
     so_path = os.path.join(build_dir, f"graphite_{digest}.so")
@@ -33,7 +39,7 @@ def _build_lib() -> ctypes.CDLL:
         tmp = so_path + f".tmp.{os.getpid()}"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            "-pthread", _SRC, "-o", tmp,
+            "-pthread", *_SRCS, "-o", tmp, "-lz",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
@@ -104,6 +110,24 @@ def _lib() -> ctypes.CDLL:
             lib.gt_batch_export.restype = None
             lib.gt_batch_free.argtypes = [c.c_void_p]
             lib.gt_batch_free.restype = None
+            u64p = c.POINTER(c.c_uint64)
+            lib.vcfio_scan.argtypes = [
+                u8p, c.c_int64, u8p, c.c_int64, c.c_int64, i32p,
+            ]
+            lib.vcfio_scan.restype = c.c_void_p
+            for name in (
+                "vcfio_n_records", "vcfio_n_hap", "vcfio_words",
+                "vcfio_n_alleles", "vcfio_blob_len", "vcfio_n_rows",
+            ):
+                fn = getattr(lib, name)
+                fn.argtypes = [c.c_void_p]
+                fn.restype = c.c_int64
+            lib.vcfio_export.argtypes = [
+                c.c_void_p, i64p, i32p, i64p, i64p, u8p, i64p, i32p, u64p,
+            ]
+            lib.vcfio_export.restype = None
+            lib.vcfio_free.argtypes = [c.c_void_p]
+            lib.vcfio_free.restype = None
             _LIB = lib
     return _LIB
 
@@ -309,6 +333,85 @@ def vcf_parse_gt(sample_block: bytes, n_expected: int):
     if n != n_expected:
         return None
     return out[:n_expected]
+
+
+def vcf_scan_native(fn: str, chrom: str, n_threads: int = 0):
+    """Threaded C++ VCF body scan (``vcfio.cpp``): all records of one
+    chromosome, genotypes already reduced to per-(record, alt-allele)
+    haplotype bitsets (the HaploIndex row layout, ``graph/haplo.py``).
+
+    BGZF inputs (bgzip/htslib — the 1KGP container) are decompressed in
+    parallel; plain gzip and plain text are handled too.  Returns
+    ``(records, n_hap)`` where each ``VcfRecord.gt`` is a dict
+    ``{allele_idx: uint64 bitset words}`` (``None`` when the VCF carries
+    no samples).  Raises on IO/format errors or irregular ploidy — the
+    caller falls back to the python reader (``io/vcf.py``).
+    """
+    import ctypes as c
+
+    from grafimo_tpu.io.vcf import VcfRecord
+
+    lib = _lib()
+    u8p = c.POINTER(c.c_uint8)
+    i64p = c.POINTER(c.c_int64)
+    i32p = c.POINTER(c.c_int32)
+    status = np.zeros(1, dtype=np.int32)
+    path_b = os.fspath(fn).encode()
+    chrom_b = chrom.encode()
+    h = lib.vcfio_scan(
+        c.cast(c.c_char_p(path_b), u8p), c.c_int64(len(path_b)),
+        c.cast(c.c_char_p(chrom_b), u8p), c.c_int64(len(chrom_b)),
+        c.c_int64(n_threads), status.ctypes.data_as(i32p),
+    )
+    if not h:
+        raise RuntimeError("vcfio_scan failed")
+    try:
+        if int(status[0]) != 0:
+            raise RuntimeError(f"vcfio_scan status {int(status[0])}")
+        n = int(lib.vcfio_n_records(h))
+        n_hap = int(lib.vcfio_n_hap(h))
+        words = int(lib.vcfio_words(h))
+        n_alleles = int(lib.vcfio_n_alleles(h))
+        n_rows = int(lib.vcfio_n_rows(h))
+        pos = np.empty(n, dtype=np.int64)
+        n_alt = np.empty(n, dtype=np.int32)
+        seq_off = np.empty(n_alleles, dtype=np.int64)
+        seq_len = np.empty(n_alleles, dtype=np.int64)
+        blob = np.empty(int(lib.vcfio_blob_len(h)), dtype=np.uint8)
+        row_off = np.empty(n + 1, dtype=np.int64)
+        row_allele = np.empty(n_rows, dtype=np.int32)
+        bits = np.empty((n_rows, max(words, 1)), dtype=np.uint64)
+        lib.vcfio_export(
+            h, pos.ctypes.data_as(i64p), n_alt.ctypes.data_as(i32p),
+            seq_off.ctypes.data_as(i64p), seq_len.ctypes.data_as(i64p),
+            blob.ctypes.data_as(u8p), row_off.ctypes.data_as(i64p),
+            row_allele.ctypes.data_as(i32p),
+            bits.ctypes.data_as(c.POINTER(c.c_uint64)),
+        )
+    finally:
+        lib.vcfio_free(h)
+    blob_s = blob.tobytes().decode("ascii")
+    records = []
+    ai = 0
+    for i in range(n):
+        na = int(n_alt[i])
+        seqs = [
+            blob_s[int(seq_off[ai + j]) : int(seq_off[ai + j])
+                   + int(seq_len[ai + j])]
+            for j in range(1 + na)
+        ]
+        ai += 1 + na
+        gt = None
+        if n_hap > 0:
+            gt = {
+                int(row_allele[j]): bits[j]
+                for j in range(int(row_off[i]), int(row_off[i + 1]))
+            }
+        records.append(
+            VcfRecord(chrom=chrom, pos=int(pos[i]), ref=seqs[0],
+                      alts=seqs[1:], gt=gt)
+        )
+    return records, (n_hap if n_hap > 0 else None)
 
 
 def seq_tail_sums(arr: np.ndarray, starts: np.ndarray) -> np.ndarray:

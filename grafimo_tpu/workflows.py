@@ -24,7 +24,7 @@ from grafimo_tpu.graph.extract import extract_region
 from grafimo_tpu.graph.sitegraph import SiteGraph, build_graph
 from grafimo_tpu.io.bed import read_bed_regions
 from grafimo_tpu.io.fasta import fasta_chrom_names, read_fasta
-from grafimo_tpu.io.vcf import iter_vcf_records
+from grafimo_tpu.io.vcf import read_vcf_records
 from grafimo_tpu.models.motif import MotifSet
 from grafimo_tpu.models.parse import load_motifs
 from grafimo_tpu.report.writer import print_results, write_results
@@ -105,8 +105,8 @@ def buildvg(workflow: BuildVG) -> List[str]:
                   f"(use --reindex to rebuild)")
             written.append(path)
             continue
-        records = list(iter_vcf_records(workflow.vcf, chrom))
-        graph = build_graph(chrom, seqs[chrom], records)
+        records, n_hap = read_vcf_records(workflow.vcf, chrom)
+        graph = build_graph(chrom, seqs[chrom], records, n_hap=n_hap)
         graph.save(path)
         written.append(path)
         if workflow.verbose:
