@@ -72,14 +72,26 @@ def parse_gfa(path: str):
     return segments, links, paths, walks
 
 
-def gfa_to_sitegraph(path: str, chrom: Optional[str] = None) -> SiteGraph:
+def gfa_to_sitegraph(
+    path: str, chrom: Optional[str] = None, gbwt: Optional[str] = None
+) -> SiteGraph:
     """Import a vg-style GFA as a :class:`SiteGraph`.
 
     GFA 1.1 W (walk) lines, when present, are converted into the haplotype
     bitset index (one haplotype per full-length walk of the imported
-    contig); plain GFA 1.0 files import without haplotypes.
+    contig); plain GFA 1.0 files import without haplotypes.  For vg
+    exports that predate W lines, a binary ``.gbwt`` sidecar (``gbwt=``,
+    or auto-detected next to the GFA by :func:`grafimo_tpu.workflows.
+    load_graph_file`) supplies the haplotype walks instead
+    (``graph/gbwt.py``; reference keeps haplotypes in exactly such a
+    GBWT, ``constructVG.py:327-340``).
     """
     segments, links, paths, walks = parse_gfa(path)
+    if not walks and gbwt:
+        from grafimo_tpu.graph.gbwt import gbwt_walks
+
+        ref_name = chrom if chrom is not None else next(iter(paths), None)
+        walks = gbwt_walks(gbwt, contig=ref_name)
     if not paths:
         raise GraphError(f"{path}: no P (path) line — cannot identify the "
                          f"reference backbone")

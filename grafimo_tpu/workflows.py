@@ -149,11 +149,16 @@ def _display_chrom(workflow: Findmotif, chrom: str) -> str:
 
 def load_graph_file(path: str) -> SiteGraph:
     """Load a variation graph: native ``.gvt.npz`` or a vg-exported
-    ``.gfa`` (``vg view -g``), see ``graph/gfa.py``."""
+    ``.gfa`` (``vg view -g``), see ``graph/gfa.py``.  A ``.gbwt`` sidecar
+    next to a W-line-less GFA supplies the haplotype panel
+    (``graph/gbwt.py``)."""
     if path.endswith(".gfa"):
         from grafimo_tpu.graph.gfa import gfa_to_sitegraph
 
-        return gfa_to_sitegraph(path)
+        gbwt = path[: -len(".gfa")] + ".gbwt"
+        return gfa_to_sitegraph(
+            path, gbwt=gbwt if os.path.isfile(gbwt) else None
+        )
     return SiteGraph.load(path)
 
 
