@@ -130,74 +130,89 @@ def gfa_to_sitegraph(
         preds.setdefault(v, []).append(u)
 
     # collect alt alleles per (anchor_end_coord, reattach_start_coord):
-    # (allele string, first node of its chain — None for deletions)
-    site_alleles: Dict[Tuple[int, int], List[Tuple[str, Optional[str]]]] = {}
+    # (allele string, node chain — () for deletion edges).  Off-backbone
+    # structure is flattened by snarl-path enumeration: from every
+    # backbone anchor, ALL simple paths through off-path nodes up to the
+    # first backbone node become alleles — so nested/branching bubbles
+    # (e.g. vg construct sharing common alt prefixes, or bubbles inside
+    # bubbles from overlapping records) import exactly, not just linear
+    # chains.
+    site_alleles: Dict[
+        Tuple[int, int], List[Tuple[str, Tuple[str, ...]]]
+    ] = {}
 
     def add_allele(
-        span: Tuple[int, int], allele: str, head: Optional[str]
+        span: Tuple[int, int], allele: str, chain: Tuple[str, ...]
     ) -> None:
-        site_alleles.setdefault(span, []).append((allele, head))
+        site_alleles.setdefault(span, []).append((allele, chain))
 
-    visited: Set[str] = set()
-    for node in segments:
-        if node in ref_set or node in visited:
+    MAX_SNARL_PATHS = 4096
+    covered: Set[str] = set()
+    for left in ref_nodes:
+        off_starts = [s for s in succs.get(left, []) if s not in ref_set]
+        if not off_starts:
             continue
-        # walk the off-path chain containing this node back to its anchor.
-        # A chain node with ANY on-path neighbour is a chain end — the
-        # nearest such neighbour anchors the site (adjacent sites connect
-        # alt nodes of one site directly to allele nodes of the next, so
-        # off-path neighbours may belong to other sites).
-        chain = [node]
-        visited.add(node)
-        cur = node
-        while True:
-            ps = preds.get(cur, [])
-            anchors = [p for p in ps if p in ref_set]
-            if anchors:
-                left = max(anchors, key=lambda p: end_of[p])
-                break
-            off = [p for p in ps if p not in ref_set]
-            if len(off) != 1:
+        emitted = 0
+        pushes = 0
+        # iterative DFS over simple paths through off-path nodes
+        stack: List[List[str]] = [[s] for s in reversed(off_starts)]
+        while stack:
+            pushes += 1
+            if pushes > MAX_SNARL_PATHS * 64:
                 raise GraphError(
-                    f"nested bubble at segment {cur}: graph is not "
-                    "VCF-site-decomposable"
+                    f"snarl at {left}: path enumeration exceeds the "
+                    "search budget; graph is too tangled to flatten"
                 )
-            cur = off[0]
-            if cur in visited:
-                raise GraphError("cyclic off-path chain")
-            visited.add(cur)
-            chain.insert(0, cur)
-        # walk forward to the reattachment node
-        cur = chain[-1]
-        while True:
-            ss = succs.get(cur, [])
-            on = [s for s in ss if s in ref_set]
-            if on:
-                right = min(on, key=lambda s: start_of[s])
-                break
-            off = [s for s in ss if s not in ref_set]
-            if len(off) != 1:
+            chain = stack.pop()
+            cur = chain[-1]
+            nxt = succs.get(cur, [])
+            if not nxt:
                 raise GraphError(
-                    f"nested bubble at segment {cur}: graph is not "
-                    "VCF-site-decomposable"
+                    f"off-path segment {cur} is a dead end: graph has no "
+                    "reattachment to the reference path"
                 )
-            cur = off[0]
-            if cur in visited:
-                raise GraphError(
-                    f"off-path chain at {chain[-1]} merges into another "
-                    "chain: graph is not VCF-site-decomposable"
-                )
-            visited.add(cur)
-            chain.append(cur)
-        span = (end_of[left], start_of[right])
-        add_allele(span, "".join(segments[c] for c in chain), chain[0])
+            for t in nxt:
+                if t in ref_set:
+                    # equality = pure insertion between adjacent backbone
+                    # nodes (empty ref span)
+                    if start_of[t] < end_of[left]:
+                        raise GraphError(
+                            f"backward off-path reattachment at {t}"
+                        )
+                    emitted += 1
+                    if emitted > MAX_SNARL_PATHS:
+                        raise GraphError(
+                            f"snarl at {left} exceeds {MAX_SNARL_PATHS} "
+                            "paths; graph is too tangled to flatten into "
+                            "site alleles"
+                        )
+                    covered.update(chain)
+                    add_allele(
+                        (end_of[left], start_of[t]),
+                        "".join(segments[c] for c in chain),
+                        tuple(chain),
+                    )
+                elif t in chain:
+                    raise GraphError(
+                        f"cyclic off-path structure at segment {t}"
+                    )
+                else:
+                    stack.append(chain + [t])
+    orphans = [
+        n for n in segments if n not in ref_set and n not in covered
+    ]
+    if orphans:
+        raise GraphError(
+            f"segments unreachable from the reference path: "
+            f"{sorted(orphans)[:5]}"
+        )
 
     # deletion edges: backbone links skipping ref nodes
     for u, uo, v, vo in links:
         if u in ref_set and v in ref_set and ref_next.get(u) != v:
             if start_of[v] <= end_of[u]:
                 raise GraphError("backward reference link")
-            add_allele((end_of[u], start_of[v]), "", None)
+            add_allele((end_of[u], start_of[v]), "", ())
 
     # synthesise VCF-style records (anchor-base convention; build_graph
     # re-trims) and rebuild through the standard constructor
@@ -230,11 +245,18 @@ def gfa_to_sitegraph(
             ]
         walk_sets = [set(nodes) for (_s, _h, _c, nodes) in contig_walks]
         for ri, (span, alleles) in enumerate(zip(spans, allele_lists)):
+            # alleles of branching snarls can share nodes (common
+            # prefixes), so a walk matches the allele whose chain equals
+            # the walk's footprint inside this site's node universe
+            universe: Set[str] = set()
+            for _a, chain in alleles:
+                universe.update(chain)
             gts = []
             for node_set in walk_sets:
+                footprint = node_set & universe
                 allele_idx = None
-                for ai, (_a, head) in enumerate(alleles):
-                    if head is not None and head in node_set:
+                for ai, (_a, chain) in enumerate(alleles):
+                    if chain and footprint == set(chain):
                         allele_idx = ai + 1  # 1-based alt index
                         break
                 if allele_idx is None:
@@ -246,7 +268,7 @@ def gfa_to_sitegraph(
                     else:
                         empties = [
                             ai + 1
-                            for ai, (a, _h) in enumerate(alleles)
+                            for ai, (a, _c) in enumerate(alleles)
                             if a == ""
                         ]
                         allele_idx = empties[0] if empties else 0

@@ -103,7 +103,10 @@ def test_gfa_import_chopped_backbone(tmp_path):
     assert g.sites[0].alleles == ["A", "C"]
 
 
-def test_gfa_import_rejects_nested_bubbles(tmp_path):
+def test_gfa_import_flattens_nested_bubbles(tmp_path):
+    """A branching off-path subgraph (shared alt prefix, as vg construct
+    emits for alts with common leading bases) imports as one site whose
+    alleles are all snarl paths."""
     gfa = tmp_path / "nested.gfa"
     gfa.write_text(
         "H\tVN:Z:1.0\n"
@@ -113,8 +116,65 @@ def test_gfa_import_rejects_nested_bubbles(tmp_path):
         "L\t2\t+\t4\t+\t0M\n"  # branch inside an off-path chain
         "L\t3\t+\t5\t+\t0M\n"
         "L\t4\t+\t5\t+\t0M\n"
-        "L\t1\t+\t5\t+\t0M\n"
         "P\tz\t1+,5+\t*\n"
     )
+    g = gfa_to_sitegraph(str(gfa))
+    assert g.seq == "AAAACCCC"
+    assert len(g.sites) == 1
+    site = g.sites[0]
+    # pure insertion at coord 4 with two flattened snarl alleles
+    assert (site.ref_start, site.ref_end) == (4, 4)
+    assert sorted(site.alleles[1:]) == ["CG", "CT"]
+
+
+def test_nested_bubble_walk_haplotypes(tmp_path):
+    """W walks through a branching snarl genotype by chain footprint
+    (alleles share their head node, so head matching would misassign)."""
+    gfa = tmp_path / "nested_w.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.1\n"
+        "S\t1\tAAAA\nS\t2\tC\nS\t3\tG\nS\t4\tT\nS\t5\tCCCC\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "L\t2\t+\t3\t+\t0M\n"
+        "L\t2\t+\t4\t+\t0M\n"
+        "L\t3\t+\t5\t+\t0M\n"
+        "L\t4\t+\t5\t+\t0M\n"
+        "P\tz\t1+,5+\t*\n"
+        "W\ts1\t0\tz\t0\t9\t>1>2>3>5\n"  # takes CG
+        "W\ts1\t1\tz\t0\t9\t>1>2>4>5\n"  # takes CT
+        "W\ts2\t0\tz\t0\t8\t>1>5\n"      # reference
+    )
+    g = gfa_to_sitegraph(str(gfa))
+    assert g.haplo is not None and g.haplo.n_hap == 3
+    site = g.sites[0]
+    by_allele = {
+        site.alleles[a]: row
+        for a, row in g.haplo.site_allele_rows[0].items()
+    }
+    # walk 0 carries CG, walk 1 carries CT, walk 2 neither
+    def carriers(allele):
+        row = by_allele[allele]
+        return int(g.haplo.alt_bits[row][0])
+
+    assert carriers("CG") == 0b001
+    assert carriers("CT") == 0b010
+
+
+def test_gfa_import_rejects_cycles_and_dead_ends(tmp_path):
+    cyc = tmp_path / "cyc.gfa"
+    cyc.write_text(
+        "S\t1\tAAAA\nS\t2\tC\nS\t3\tG\nS\t4\tCCCC\n"
+        "L\t1\t+\t2\t+\t0M\nL\t2\t+\t3\t+\t0M\nL\t3\t+\t2\t+\t0M\n"
+        "L\t3\t+\t4\t+\t0M\nL\t1\t+\t4\t+\t0M\n"
+        "P\tz\t1+,4+\t*\n"
+    )
     with pytest.raises(GraphError):
-        gfa_to_sitegraph(str(gfa))
+        gfa_to_sitegraph(str(cyc))
+    dead = tmp_path / "dead.gfa"
+    dead.write_text(
+        "S\t1\tAAAA\nS\t2\tC\nS\t3\tCCCC\n"
+        "L\t1\t+\t2\t+\t0M\nL\t1\t+\t3\t+\t0M\n"
+        "P\tz\t1+,3+\t*\n"
+    )
+    with pytest.raises(GraphError):
+        gfa_to_sitegraph(str(dead))
