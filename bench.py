@@ -68,35 +68,45 @@ def _device_main() -> None:
     cutoff = PvalueLookup(motif.pval_table).score_cutoff(1e-4)
     cuts = np.array([cutoff] * 2, dtype=np.int32)
 
-    B, R = 512, 2048  # runs per batch x run length
+    B, R = 2048, 2048  # runs per batch x run length
     noff = R - k + 1
-    iters = 24
+    iters = 12
     rng = np.random.default_rng(0)
     batches = []
-    for _ in range(iters):
+    for i in range(iters):
         codes = rng.integers(0, 4, (B, R)).astype(np.uint8)
-        batches.append(
-            (
-                pack_run_seqs(codes),
-                pack_bits(np.zeros((B, R), bool)),
-                pack_bits(np.ones((B, noff), bool)),
+        if i % 2:
+            # half the batches carry N bases / explicit validity masks —
+            # the production mix (clean slices skip the mask uploads, see
+            # runscan.scan_batches)
+            nmask = np.zeros((B, R), bool)
+            nmask[rng.integers(0, B, 32), rng.integers(0, R, 32)] = True
+            batches.append(
+                (
+                    pack_run_seqs(codes),
+                    pack_bits(nmask),
+                    pack_bits(np.ones((B, noff), bool)),
+                )
             )
-        )
+        else:
+            batches.append((pack_run_seqs(codes), None, None))
 
     from grafimo_tpu.ops.score_runs import scan_runs_device_acc
     import jax.numpy as jnp
 
-    # warmup / compile (also absorbs the tunnel's first-fetch stall)
+    # warmup / compile both mask variants (also absorbs the tunnel's
+    # first-fetch stall)
     hist_acc = jnp.zeros((hist_size, 2), jnp.int32)
-    hist_acc, hb, nh = scan_runs_device_acc(
-        hist_acc, *batches[0], kernel, mins, cuts, k, hist_size
-    )
-    np.asarray(hb), np.asarray(nh)
+    for w in (0, 1):
+        hist_acc, hb, nh = scan_runs_device_acc(
+            hist_acc, *batches[w], kernel, mins, cuts, k, hist_size
+        )
+        np.asarray(hb), np.asarray(nh)
     np.asarray(hist_acc.block_until_ready())
 
     t0 = time.perf_counter()
     pending = []
-    for i in range(1, iters):
+    for i in range(2, iters):
         # the production pattern (runscan.scan_batches): device-resident
         # histogram accumulation, async per-batch hit counts, hit bits
         # fetched only for batches that contain hits
@@ -114,7 +124,7 @@ def _device_main() -> None:
             hit_bytes += np.asarray(hb).nbytes
     dt = time.perf_counter() - t0
 
-    n_windows = B * noff * 2 * (iters - 1)  # both strands
+    n_windows = B * noff * 2 * (iters - 2)  # both strands
     windows_per_s = n_windows / dt
     baseline = 5e3  # reference windows/s/host at 16 threads (BASELINE.md)
     print(
@@ -127,10 +137,15 @@ def _device_main() -> None:
             }
         )
     )
-    up_bytes = sum(a.nbytes for a in batches[0]) * (iters - 1)
+    up_bytes = sum(
+        a.nbytes
+        for b in batches[2:]
+        for a in b
+        if a is not None
+    )
     print(
         f"# device={dev.device_kind} runs/batch={B} R={R} k={k} "
-        f"iters={iters - 1} time={dt:.3f}s "
+        f"iters={iters - 2} time={dt:.3f}s "
         f"up={up_bytes / dt / 1e6:.0f}MB/s "
         f"hist_checksum={int(hist_total.sum())}",
         file=sys.stderr,

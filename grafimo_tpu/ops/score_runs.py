@@ -70,6 +70,10 @@ def _scan_core(
     packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k: int,
     hist_size: int,
 ):
+    """``nbits``/``vbits`` may be ``None`` (static, trace-time): a clean
+    batch (no N bases / every offset valid) then skips the mask upload
+    and the masking arithmetic entirely — in production scans most
+    batches are clean and this trims ~40% off the host->device bytes."""
     b, w4 = packed.shape
     r = w4 * 4
     noff = r - k + 1
@@ -87,17 +91,20 @@ def _scan_core(
         precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)  # (B, Noff, M)
     m = scores.shape[-1]
-    # N-window detection via cumulative sums of the N indicator
-    n_ind = _unpack1(nbits, r)  # (B, R) 0/1
-    cum = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(n_ind, axis=1)], axis=1
-    )
-    has_n = (cum[:, k:] - cum[:, :-k]) > 0  # (B, Noff)
-    scores = jnp.where(
-        has_n[:, :, None], min_scores[None, None, :], scores
-    )
-    valid = _unpack1(vbits, noff).astype(bool)  # (B, Noff)
-    scores = jnp.where(valid[:, :, None], scores, jnp.int32(-1))
+    if nbits is not None:
+        # N-window detection via cumulative sums of the N indicator
+        n_ind = _unpack1(nbits, r)  # (B, R) 0/1
+        cum = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(n_ind, axis=1)],
+            axis=1,
+        )
+        has_n = (cum[:, k:] - cum[:, :-k]) > 0  # (B, Noff)
+        scores = jnp.where(
+            has_n[:, :, None], min_scores[None, None, :], scores
+        )
+    if vbits is not None:
+        valid = _unpack1(vbits, noff).astype(bool)  # (B, Noff)
+        scores = jnp.where(valid[:, :, None], scores, jnp.int32(-1))
     # exact per-motif histogram over valid windows
     flat = scores.reshape(-1, m)
     m_idx = jnp.broadcast_to(

@@ -372,11 +372,21 @@ def scan_batches(
         # motif-column count grows
         budget = MAX_BASES_PER_DISPATCH // max(1, m // 4)
         rows_per = max(1, budget // batch.R)
+        noff_b = batch.R - k + 1
+        # expected vbits bytes for an all-valid row (tail bits zero)
+        full_row = np.full((noff_b + 7) // 8, 0xFF, dtype=np.uint8)
+        if noff_b % 8:
+            full_row[-1] = (1 << (noff_b % 8)) - 1
         for lo in range(0, batch.packed.shape[0], rows_per):
             hi = min(lo + rows_per, batch.packed.shape[0])
+            # clean slices skip the mask uploads entirely (static None
+            # branch in ops/score_runs._scan_core)
+            nb = batch.nbits[lo:hi]
+            vb = batch.vbits[lo:hi]
+            nb = None if not nb.any() else nb
+            vb = None if (vb == full_row).all() else vb
             hist_acc, hitbits, n_hits, top_idx = scan_runs_device_topk(
-                hist_acc, batch.packed[lo:hi], batch.nbits[lo:hi],
-                batch.vbits[lo:hi],
+                hist_acc, batch.packed[lo:hi], nb, vb,
                 pwm_kernel, min_scores.astype(np.int32),
                 cutoffs.astype(np.int32), k, hist_size, TOPK,
             )
