@@ -49,9 +49,15 @@ def pack_bits(bits: np.ndarray) -> np.ndarray:
 
 def pwms_to_conv_kernel(score_matrices) -> np.ndarray:
     """Stack ``(4, k)`` integer score matrices into a ``(k, 4, M)`` f32
-    convolution kernel."""
+    convolution kernel.  Entries must stay in [0, 1020] — the bit-exact
+    bf16 kernel split in :func:`_score_codes` depends on it (scaled PWMs
+    are in [0, RANGE=1000] by construction, models/process.py)."""
     mats = [np.asarray(m, dtype=np.float32).T for m in score_matrices]
-    return np.ascontiguousarray(np.stack(mats, axis=-1))
+    kernel = np.ascontiguousarray(np.stack(mats, axis=-1))
+    assert kernel.min() >= 0 and kernel.max() <= 1020, (
+        "PWM kernel outside [0, 1020]: exact bf16 split would break"
+    )
+    return kernel
 
 
 def _unpack2(packed: jnp.ndarray) -> jnp.ndarray:
@@ -66,6 +72,96 @@ def _unpack1(packed: jnp.ndarray, n: int) -> jnp.ndarray:
     return bits.reshape(packed.shape[0], -1)[:, :n]
 
 
+def _unpack2_u8(packed: jnp.ndarray) -> jnp.ndarray:
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    quads = (packed[:, :, None] >> shifts[None, None, :]) & 3
+    return quads.reshape(packed.shape[0], -1)
+
+
+def _unpack1_u8(packed: jnp.ndarray) -> jnp.ndarray:
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & 1
+    return bits.reshape(packed.shape[0], -1)
+
+
+def _shift_select(full: jnp.ndarray, shift: jnp.ndarray, r: int, n: int):
+    """Per-row sub-base alignment: pick ``full[i, shift[i] : shift[i]+r]``
+    with ``shift < n`` via ``select_n`` over n static slices — a
+    vectorised elementwise select instead of a 2-D gather
+    (take_along_axis), which is slow on TPU."""
+    b = full.shape[0]
+    cases = [jax.lax.slice(full, (0, s), (b, s + r)) for s in range(n)]
+    sel = jnp.broadcast_to(shift[:, None].astype(jnp.int32), (b, r))
+    return jax.lax.select_n(sel, *cases)
+
+
+def _expand_resident(genome4: jnp.ndarray, gstart: jnp.ndarray, r: int):
+    """Device-side window expansion from the HBM-resident packed genome:
+    row i's codes are ``genome[gstart[i] : gstart[i] + r]``.  The genome
+    crosses the host->device link ONCE per scan; each run then costs 4
+    bytes of descriptor instead of ``r/4`` bytes of sequence."""
+    byte0 = gstart // 4
+    shift = gstart % 4
+    nbytes = r // 4 + 1
+    idx = byte0[:, None] + jnp.arange(nbytes, dtype=gstart.dtype)[None, :]
+    idx = jnp.minimum(idx, genome4.shape[0] - 1)  # tail windows are
+    by = jnp.take(genome4, idx, axis=0)  # masked invalid by vbits
+    codes = _unpack2_u8(by)  # (B, r + 4) uint8
+    return _shift_select(codes, shift, r, 4).astype(jnp.int32)
+
+
+def _expand_resident_bits(genome1: jnp.ndarray, gstart: jnp.ndarray, r: int):
+    """Same gather for the 1-bit-per-base N plane."""
+    byte0 = gstart // 8
+    shift = gstart % 8
+    nbytes = r // 8 + 1
+    idx = byte0[:, None] + jnp.arange(nbytes, dtype=gstart.dtype)[None, :]
+    idx = jnp.minimum(idx, genome1.shape[0] - 1)
+    by = jnp.take(genome1, idx, axis=0)
+    bits = _unpack1_u8(by)  # (B, r + 8) uint8
+    return _shift_select(bits, shift, r, 8).astype(jnp.int32)
+
+
+def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
+    """Exact integer score histogram as MXU matmuls instead of a
+    scatter-add (4-8x faster on TPU for this shape).
+
+    Per motif column, scores split into (hi, lo) byte planes; the
+    ``(n, n_hi) x (n, 256)`` one-hot contraction counts every (hi, lo)
+    pair at once.  Segments stay under 2^23 entries so the f32
+    accumulators remain integer-exact (< 2^24); per-segment counts are
+    then summed in int32.  Invalid windows (score -1) route to a spill
+    row past ``hist_size`` and are dropped.
+    """
+    b, noff, m = scores.shape
+    n_hi = (hist_size + 255) // 256 + 1  # + spill row for invalid
+    spill = (n_hi - 1) * 256
+    seg_len = 1 << 23
+    cols = []
+    for col in range(m):
+        v = scores[:, :, col].reshape(-1)
+        v = jnp.where(v >= 0, v, jnp.int32(spill))
+        total = jnp.zeros((n_hi, 256), jnp.int32)
+        n = v.shape[0]
+        for s0 in range(0, n, seg_len):
+            seg = jax.lax.slice(v, (s0,), (min(s0 + seg_len, n),))
+            hi = seg // 256
+            lo = seg % 256
+            oh_hi = (
+                hi[:, None] == jnp.arange(n_hi, dtype=jnp.int32)[None, :]
+            ).astype(jnp.bfloat16)
+            oh_lo = (
+                lo[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
+            ).astype(jnp.bfloat16)
+            c = jnp.einsum(
+                "ni,nj->ij", oh_hi, oh_lo,
+                preferred_element_type=jnp.float32,
+            )
+            total = total + c.astype(jnp.int32)
+        cols.append(total.reshape(-1)[:hist_size])
+    return jnp.stack(cols, axis=1)  # (hist_size, m)
+
+
 def _scan_core(
     packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k: int,
     hist_size: int,
@@ -74,26 +170,48 @@ def _scan_core(
     batch (no N bases / every offset valid) then skips the mask upload
     and the masking arithmetic entirely — in production scans most
     batches are clean and this trims ~40% off the host->device bytes."""
-    b, w4 = packed.shape
-    r = w4 * 4
-    noff = r - k + 1
+    r = packed.shape[1] * 4
     codes = _unpack2(packed)  # (B, R)
+    n_ind = _unpack1(nbits, r) if nbits is not None else None
+    return _score_codes(
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+    )
+
+
+def _score_codes(
+    codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k: int,
+    hist_size: int,
+):
+    b = codes.shape[0]
+    r = codes.shape[1]
+    noff = r - k + 1
     onehot = (
         codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
-    ).astype(jnp.float32)
-    scores = jax.lax.conv_general_dilated(
+    ).astype(jnp.bfloat16)
+    # exact bf16 decomposition of the integer PWM: entries are scaled to
+    # [0, RANGE=1000] (models/process.py), so hi = 4*floor(v/4) <= 1020
+    # and lo = v mod 4 are both exactly representable in bf16 (8-bit
+    # mantissa covers ints <= 256 and 4x those).  One native-MXU bf16
+    # conv with doubled columns + f32 accumulation is then bit-exact —
+    # and ~3x cheaper than Precision.HIGHEST on a f32 one-hot.
+    m_cols = pwm_kernel.shape[-1]
+    k_hi = jnp.floor(pwm_kernel / 4) * 4
+    k_lo = pwm_kernel - k_hi
+    split = jnp.concatenate([k_hi, k_lo], axis=-1).astype(jnp.bfloat16)
+    both = jax.lax.conv_general_dilated(
         onehot,
-        pwm_kernel,
+        split,
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, Noff, 2M) f32-exact partial sums
+    scores = (
+        both[:, :, :m_cols] + both[:, :, m_cols:]
     ).astype(jnp.int32)  # (B, Noff, M)
     m = scores.shape[-1]
-    if nbits is not None:
+    if n_ind is not None:
         # N-window detection via cumulative sums of the N indicator
-        n_ind = _unpack1(nbits, r)  # (B, R) 0/1
         cum = jnp.concatenate(
             [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(n_ind, axis=1)],
             axis=1,
@@ -105,14 +223,7 @@ def _scan_core(
     if vbits is not None:
         valid = _unpack1(vbits, noff).astype(bool)  # (B, Noff)
         scores = jnp.where(valid[:, :, None], scores, jnp.int32(-1))
-    # exact per-motif histogram over valid windows
-    flat = scores.reshape(-1, m)
-    m_idx = jnp.broadcast_to(
-        jnp.arange(m, dtype=jnp.int32)[None, :], flat.shape
-    )
-    ok = (flat >= 0).astype(jnp.int32)
-    hist = jnp.zeros((hist_size, m), jnp.int32)
-    hist = hist.at[jnp.clip(flat, 0, hist_size - 1), m_idx].add(ok)
+    hist = _exact_hist(scores, hist_size)
     # packed hit bits
     hit = (scores >= cutoffs[None, None, :]) & (scores >= 0)
     pad = (-noff) % 8
@@ -156,28 +267,71 @@ def scan_runs_device_topk(
     hist, hitbits = _scan_core(
         packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
     )
+    noff = packed.shape[1] * 4 - k + 1
+    return _topk_package(
+        hist_acc, hist, hitbits, noff, pwm_kernel.shape[-1], topk
+    )
+
+
+def _topk_package(hist_acc, hist, hitbits, noff: int, m: int, topk: int):
     n_hits = jnp.sum(
         jax.lax.population_count(hitbits.astype(jnp.uint32))
     ).astype(jnp.int32)
-    b, w4 = packed.shape
-    noff = w4 * 4 - k + 1
-    m = pwm_kernel.shape[-1]
+    b = hitbits.shape[0]
     # rebuild the hit predicate from the packed bits to avoid re-deriving
     # scores: unpack hitbits (cheap) and flatten
     shifts = jnp.arange(8, dtype=jnp.uint8)
     bits = (hitbits[:, :, None, :] >> shifts[None, None, :, None]) & 1
     bits = bits.reshape(b, -1, m)[:, :noff, :]
     flat = bits.reshape(-1).astype(jnp.int32)
-    # top-k over the 0/1 predicate weighted by index recency would lose
-    # order; instead weight hits by their flat position so indices decode
-    # directly: value = flat_index + 1 for hits, 0 otherwise
+    # stream-compact the hit flat-indices: position = running hit count,
+    # non-hits scatter out of bounds (dropped).  O(N) cumsum + scatter —
+    # far cheaper than lax.top_k over the window tensor, and hits come
+    # out in ascending flat order (deterministic).  When a slice holds
+    # more than topk hits the tail clamps onto the last slot; the caller
+    # detects n_hits > topk and falls back to the full bitmask.
+    k_slots = min(topk, flat.shape[0])
+    pred = flat > 0
+    pos = jnp.cumsum(pred) - 1
     idx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
-    vals = jnp.where(flat > 0, idx + 1, 0)
-    # when the slice has fewer positions than topk, every hit fits anyway
-    top_vals, _ = jax.lax.top_k(vals, min(topk, vals.shape[0]))
+    target = jnp.where(pred, jnp.minimum(pos, k_slots - 1), k_slots)
+    top_vals = (
+        jnp.zeros((k_slots,), jnp.int32)
+        .at[target]
+        .max(idx + 1, mode="drop")
+    )
     return (
         hist_acc + hist.astype(hist_acc.dtype), hitbits, n_hits,
-        top_vals,  # hit flat indices + 1, descending; 0 = empty slot
+        top_vals,  # hit flat indices + 1, ascending; 0 = empty slot
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("r", "k", "hist_size", "topk"),
+    donate_argnums=(0,),
+)
+def scan_runs_resident_topk(
+    hist_acc, genome4, ngenome, gstart, vbits, pwm_kernel, min_scores,
+    cutoffs, r: int, k: int, hist_size: int, topk: int,
+):
+    """Device-resident variant of :func:`scan_runs_device_topk`: rows are
+    expanded on device from the HBM-resident packed genome (``genome4``,
+    uploaded once per scan) at per-row genome offsets ``gstart`` — each
+    backbone run crosses the link as a 4-byte descriptor instead of
+    ``r/4`` sequence bytes (roadmap: device-resident graphs).
+    ``ngenome`` (packed N plane) and ``vbits`` may be None."""
+    codes = _expand_resident(genome4, gstart, r)
+    n_ind = (
+        _expand_resident_bits(ngenome, gstart, r)
+        if ngenome is not None
+        else None
+    )
+    hist, hitbits = _score_codes(
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+    )
+    return _topk_package(
+        hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
     )
 
 

@@ -44,8 +44,10 @@ from grafimo_tpu.utils.constants import RANGE
 
 BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 # device-batch size cap: rows are sliced so rows*R stays under this many
-# bases per dispatch (bounds the one-hot / scores HBM footprint)
-MAX_BASES_PER_DISPATCH = 1 << 22
+# bases per dispatch (bounds the one-hot / scores HBM footprint: 16M
+# bases => ~130MB one-hot + ~260MB scores at m=4 — comfortably inside
+# one chip's HBM, and fewer dispatch round trips through slow links)
+MAX_BASES_PER_DISPATCH = 1 << 24
 _SEQ_LUT = np.full(256, 0, dtype=np.uint8)
 for _i, _c in enumerate("ACGT"):
     _SEQ_LUT[ord(_c)] = _i
@@ -72,10 +74,34 @@ class RunChunk:
 @dataclass
 class DeviceBatch:
     R: int
-    packed: np.ndarray
-    nbits: np.ndarray
+    packed: Optional[np.ndarray]  # None for device-resident batches
+    nbits: Optional[np.ndarray]
     vbits: np.ndarray
     chunks: List[RunChunk]
+    # device-resident backbone batches: rows are genome slices, expanded
+    # on device from the HBM-resident packed chromosome (uploaded once);
+    # each row is a 4-byte genome offset instead of R/4 sequence bytes
+    gstart: Optional[np.ndarray] = None  # int32 (B,) genome base offsets
+    graph: Optional[SiteGraph] = None
+
+
+def _resident_genome(graph: SiteGraph):
+    """Packed whole-chromosome arrays for on-device expansion (cached on
+    the graph): ``(codes4 (ceil(L/4)+pad,) uint8, nplane or None)``."""
+    cached = getattr(graph, "_resident_genome_cache", None)
+    if cached is not None:
+        return cached
+    seq_bytes = np.frombuffer(graph.seq.encode("ascii"), np.uint8)
+    codes = _SEQ_LUT[seq_bytes]
+    nmask = _N_LUT[seq_bytes]
+    pad4 = (-len(codes)) % 4
+    if pad4:
+        codes = np.concatenate([codes, np.zeros(pad4, np.uint8)])
+    codes4 = pack_run_seqs(codes[None, :])[0]
+    nplane = pack_bits(nmask[None, :])[0] if nmask.any() else None
+    cached = (codes4, nplane)
+    graph._resident_genome_cache = cached
+    return cached
 
 
 @dataclass
@@ -166,6 +192,9 @@ def save_batches(
     """Persist device-ready batches as a scan checkpoint (SURVEY.md §5.4:
     the reference had none — its tmp TSV dir was an implicit, deleted
     intermediate; this is an explicit, reusable one)."""
+    assert all(
+        b.packed is not None for b in batches
+    ), "device-resident batches are not checkpointable (batch_runs resident=False)"
     key_index = {key: i for i, key in enumerate(region_keys)}
     arrays = {
         "region_keys": np.frombuffer(
@@ -230,13 +259,20 @@ def _native_batcher():
 
 def batch_runs(
     region_runs_list: List[RegionRuns], k: int, buckets=BUCKETS,
-    threads: int = 0,
+    threads: int = 0, resident: bool = True,
 ) -> List[DeviceBatch]:
     """Chunk + bucket + bit-pack all run payloads into device batches.
 
     Deferred (``payloads is None``) regions go through the C++ batch
     pipeline — one call per graph covering run construction, chunking and
     bit packing; the rest use the python path below.
+
+    With ``resident`` (the default), backbone rows — genome slices, the
+    bulk of the window mass — become device-resident batches: a 4-byte
+    genome offset per row, expanded on device from the once-uploaded
+    packed chromosome (``ops/score_runs.scan_runs_resident_topk``).
+    Disable for scan checkpoints (``--cache-dir``), which persist full
+    row payloads.
     """
     batches: List[DeviceBatch] = []
     python_rrs = [rr for rr in region_runs_list if rr.payloads is not None]
@@ -264,20 +300,56 @@ def batch_runs(
                         rr.payloads.append(_payload_from_run(run))
                         rr._run_cache[run.ref] = run
                     python_rrs.append(rr)
+                region_lo = np.array(
+                    [max(0, rr.start) for rr in group], dtype=np.int64
+                )
                 for r_len, d in per_bucket_native.items():
+                    meta = d["meta"]
                     chunks = [
                         RunChunk(
                             (group[int(m[0])].key, (int(m[1]), int(m[2]))),
                             int(m[3]),
                         )
-                        for m in d["meta"]
+                        for m in meta
                     ]
-                    batches.append(
-                        DeviceBatch(
-                            R=r_len, packed=d["packed"], nbits=d["nbits"],
-                            vbits=d["vbits"], chunks=chunks,
+                    bb = meta[:, 1] == -1
+                    if resident and bb.any():
+                        gstart = (
+                            region_lo[meta[bb, 0]] + meta[bb, 3]
+                        ).astype(np.int32)
+                        batches.append(
+                            DeviceBatch(
+                                R=r_len, packed=None, nbits=None,
+                                vbits=d["vbits"][bb],
+                                chunks=[
+                                    c for c, f in zip(chunks, bb) if f
+                                ],
+                                gstart=gstart, graph=group[0].graph,
+                            )
                         )
-                    )
+                        rest = ~bb
+                        if rest.any():
+                            batches.append(
+                                DeviceBatch(
+                                    R=r_len,
+                                    packed=d["packed"][rest],
+                                    nbits=d["nbits"][rest],
+                                    vbits=d["vbits"][rest],
+                                    chunks=[
+                                        c
+                                        for c, f in zip(chunks, rest)
+                                        if f
+                                    ],
+                                )
+                            )
+                    else:
+                        batches.append(
+                            DeviceBatch(
+                                R=r_len, packed=d["packed"],
+                                nbits=d["nbits"], vbits=d["vbits"],
+                                chunks=chunks,
+                            )
+                        )
             except Exception as e:
                 import sys
 
@@ -293,9 +365,12 @@ def batch_runs(
                     python_rrs.append(rr)
     region_runs_list = python_rrs
     per_bucket: Dict[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray, RunChunk]]] = {}
+    res_bucket: Dict[Tuple[int, int], List[Tuple[int, np.ndarray, RunChunk]]] = {}
+    res_graphs: Dict[int, SiteGraph] = {}
     max_r = buckets[-1]
     stride_base = max_r - k + 1
     for rr in region_runs_list:
+        lo_region = max(0, rr.start)
         for payload in rr.payloads:
             codes = payload.codes
             nmask = codes >= 4
@@ -306,16 +381,23 @@ def batch_runs(
                 take_off = min(stride_base, noff_total - pos)
                 chunk_len = take_off + k - 1
                 r = next(b for b in buckets if b >= chunk_len)
-                c_codes = np.zeros(r, dtype=np.uint8)
-                c_codes[:chunk_len] = codes[pos : pos + chunk_len]
-                c_n = np.zeros(r, dtype=bool)
-                c_n[:chunk_len] = nmask[pos : pos + chunk_len]
                 c_valid = np.zeros(r - k + 1, dtype=bool)
                 c_valid[:take_off] = payload.valid[pos : pos + take_off]
-                per_bucket.setdefault(r, []).append(
-                    (c_codes, c_n, c_valid,
-                     RunChunk((rr.key, payload.ref), pos))
-                )
+                chunk = RunChunk((rr.key, payload.ref), pos)
+                if resident and payload.ref[0] == -1:
+                    gk = (r, id(rr.graph))
+                    res_graphs[id(rr.graph)] = rr.graph
+                    res_bucket.setdefault(gk, []).append(
+                        (lo_region + pos, c_valid, chunk)
+                    )
+                else:
+                    c_codes = np.zeros(r, dtype=np.uint8)
+                    c_codes[:chunk_len] = codes[pos : pos + chunk_len]
+                    c_n = np.zeros(r, dtype=bool)
+                    c_n[:chunk_len] = nmask[pos : pos + chunk_len]
+                    per_bucket.setdefault(r, []).append(
+                        (c_codes, c_n, c_valid, chunk)
+                    )
                 pos += take_off
     for r, rows in per_bucket.items():
         packed = pack_run_seqs(np.stack([x[0] for x in rows]))
@@ -325,6 +407,16 @@ def batch_runs(
             DeviceBatch(
                 R=r, packed=packed, nbits=nbits, vbits=vbits,
                 chunks=[x[3] for x in rows],
+            )
+        )
+    for (r, gid), rows in res_bucket.items():
+        batches.append(
+            DeviceBatch(
+                R=r, packed=None, nbits=None,
+                vbits=pack_bits(np.stack([x[1] for x in rows])),
+                chunks=[x[2] for x in rows],
+                gstart=np.array([x[0] for x in rows], dtype=np.int32),
+                graph=res_graphs[gid],
             )
         )
     return batches
@@ -347,11 +439,17 @@ def scan_batches(
     hist_size: int,
     collect_hits: bool = True,
 ) -> RunScanResult:
+    import jax
     import jax.numpy as jnp
 
-    from grafimo_tpu.ops.score_runs import scan_runs_device_topk
+    from grafimo_tpu.ops.score_runs import (
+        scan_runs_device_topk,
+        scan_runs_resident_topk,
+    )
 
     TOPK = 1 << 13
+    # HBM-resident packed chromosomes, uploaded once per scan
+    genome_dev: Dict[int, tuple] = {}
     m = pwm_kernel.shape[-1]
     hits: List[Tuple[Tuple[str, int], int, int]] = []
     t0 = time.perf_counter()
@@ -377,21 +475,43 @@ def scan_batches(
         full_row = np.full((noff_b + 7) // 8, 0xFF, dtype=np.uint8)
         if noff_b % 8:
             full_row[-1] = (1 << (noff_b % 8)) - 1
-        for lo in range(0, batch.packed.shape[0], rows_per):
-            hi = min(lo + rows_per, batch.packed.shape[0])
+        if batch.gstart is not None:
+            gkey = id(batch.graph)
+            if gkey not in genome_dev:
+                c4, npl = _resident_genome(batch.graph)
+                genome_dev[gkey] = (
+                    jax.device_put(c4),
+                    jax.device_put(npl) if npl is not None else None,
+                )
+        n_rows = (
+            batch.gstart.shape[0]
+            if batch.gstart is not None
+            else batch.packed.shape[0]
+        )
+        for lo in range(0, n_rows, rows_per):
+            hi = min(lo + rows_per, n_rows)
             # clean slices skip the mask uploads entirely (static None
             # branch in ops/score_runs._scan_core)
-            nb = batch.nbits[lo:hi]
             vb = batch.vbits[lo:hi]
-            nb = None if not nb.any() else nb
             vb = None if (vb == full_row).all() else vb
-            hist_acc, hitbits, n_hits, top_idx = scan_runs_device_topk(
-                hist_acc, batch.packed[lo:hi], nb, vb,
-                pwm_kernel, min_scores.astype(np.int32),
-                cutoffs.astype(np.int32), k, hist_size, TOPK,
-            )
-            if collect_hits:
-                n_hits.copy_to_host_async()
+            if batch.gstart is not None:
+                g4, gn = genome_dev[id(batch.graph)]
+                hist_acc, hitbits, n_hits, top_idx = (
+                    scan_runs_resident_topk(
+                        hist_acc, g4, gn, batch.gstart[lo:hi], vb,
+                        pwm_kernel, min_scores.astype(np.int32),
+                        cutoffs.astype(np.int32), batch.R, k, hist_size,
+                        TOPK,
+                    )
+                )
+            else:
+                nb = batch.nbits[lo:hi]
+                nb = None if not nb.any() else nb
+                hist_acc, hitbits, n_hits, top_idx = scan_runs_device_topk(
+                    hist_acc, batch.packed[lo:hi], nb, vb,
+                    pwm_kernel, min_scores.astype(np.int32),
+                    cutoffs.astype(np.int32), k, hist_size, TOPK,
+                )
             pending.append((batch, lo, hitbits, n_hits, top_idx))
             since_flush += 1
             if since_flush >= FLUSH_EVERY:
@@ -399,14 +519,41 @@ def scan_batches(
                 hist_acc = jnp.zeros((hist_size, m), jnp.int32)
                 since_flush = 0
     hist_total = hist_host + np.asarray(hist_acc).astype(np.int64)
-    for batch, row0, hitbits, n_hits, top_idx in pending:
-        nh = int(n_hits) if collect_hits else 0
+    # fetch the per-slice hit counts in fixed-size blocks: one device->
+    # host round trip per 256 slices instead of one per slice (tunnel
+    # round trips dominate genome-scale scans otherwise); the block size
+    # is fixed so the stacking concat compiles once
+    nh_all = np.zeros(len(pending), dtype=np.int64)
+    if collect_hits and pending:
+        NH_BLOCK = 256
+        for b0 in range(0, len(pending), NH_BLOCK):
+            blk = [p[3] for p in pending[b0 : b0 + NH_BLOCK]]
+            pad = NH_BLOCK - len(blk)
+            stacked = jnp.stack(blk + [blk[-1]] * pad)
+            nh_all[b0 : b0 + len(blk)] = np.asarray(stacked)[: len(blk)]
+    # prefetch the compacted hit indices of every hit slice in blocks —
+    # like n_hits above, one round trip per block instead of per slice
+    by_len: Dict[int, List[int]] = {}
+    for i, nh in enumerate(nh_all.tolist()):
+        if 0 < nh <= TOPK:
+            by_len.setdefault(pending[i][4].shape[0], []).append(i)
+    top_host: Dict[int, np.ndarray] = {}
+    IDX_BLOCK = 64
+    for hit_slices in by_len.values():
+        for b0 in range(0, len(hit_slices), IDX_BLOCK):
+            blk = hit_slices[b0 : b0 + IDX_BLOCK]
+            stacked = np.asarray(jnp.stack([pending[i][4] for i in blk]))
+            for j, i in enumerate(blk):
+                top_host[i] = stacked[j]
+    for pi, ((batch, row0, hitbits, n_hits, top_idx), nh) in enumerate(
+        zip(pending, nh_all.tolist())
+    ):
         if nh == 0:
             continue
         noff = batch.R - k + 1
         if nh <= TOPK:
             # compacted path: a few KB of flat indices per slice
-            flat = np.asarray(top_idx)[:nh] - 1
+            flat = top_host[pi][:nh] - 1
             rows, rem = np.divmod(flat, noff * m)
             offs, cols = np.divmod(rem, m)
         else:
@@ -494,7 +641,12 @@ def compute_results_runs(
                 for run in region_runs(rr.graph, rr.start, rr.stop, k):
                     rr._run_cache[run.ref] = run
     else:
-        batches = batch_runs(region_runs_list, k, threads=cores)
+        # checkpoints persist full row payloads, so residency is disabled
+        # when a cache dir is in play
+        batches = batch_runs(
+            region_runs_list, k, threads=cores,
+            resident=cache_path is None,
+        )
         if cache_path:
             save_batches(
                 cache_path, batches, [rr.key for rr in region_runs_list]

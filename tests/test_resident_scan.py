@@ -1,0 +1,138 @@
+"""Device-resident backbone scanning (ops/score_runs.scan_runs_resident_topk
++ runscan residency partitioning): on-device genome expansion must produce
+exactly the same histograms/hits as the packed-upload path."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from grafimo_tpu.ops.score_runs import (  # noqa: E402
+    pack_bits,
+    pack_run_seqs,
+    pwms_to_conv_kernel,
+    scan_runs_device_topk,
+    scan_runs_resident_topk,
+)
+
+
+def _kernel(k, rng):
+    mat = rng.integers(0, 1000, (4, k)).astype(np.int64)
+    return pwms_to_conv_kernel([mat]), np.array([int(mat.min(0).sum())],
+                                                np.int32)
+
+
+@pytest.mark.parametrize("seed,r,with_n", [(0, 64, False), (1, 128, True),
+                                           (2, 256, False)])
+def test_resident_matches_packed(seed, r, with_n):
+    rng = np.random.default_rng(seed)
+    k = 11
+    L = 4000
+    genome = rng.integers(0, 4, L).astype(np.uint8)
+    nmask = np.zeros(L, bool)
+    if with_n:
+        nmask[rng.integers(0, L, 17)] = True
+    pad4 = (-L) % 4
+    g_codes = np.concatenate([genome, np.zeros(pad4, np.uint8)])
+    genome4 = pack_run_seqs(g_codes[None])[0]
+    nplane = pack_bits(nmask[None])[0] if with_n else None
+
+    B = 33
+    noff = r - k + 1
+    gstart = rng.integers(0, L - r, B).astype(np.int32)
+    valid = rng.random((B, noff)) < 0.9
+
+    # packed reference: materialise the rows
+    rows = np.stack([genome[s : s + r] for s in gstart])
+    nrows = np.stack([nmask[s : s + r] for s in gstart])
+    kernel, mins = _kernel(k, rng)
+    cuts = mins + 5000
+    hist_size = 1000 * k + 1
+    z = jnp.zeros((hist_size, 1), jnp.int32)
+    h1, hb1, nh1, top1 = scan_runs_device_topk(
+        z, pack_run_seqs(rows), pack_bits(nrows), pack_bits(valid),
+        kernel, mins, cuts, k, hist_size, 64,
+    )
+    z = jnp.zeros((hist_size, 1), jnp.int32)
+    h2, hb2, nh2, top2 = scan_runs_resident_topk(
+        z, jnp.asarray(genome4),
+        jnp.asarray(nplane) if nplane is not None else None,
+        jnp.asarray(gstart), pack_bits(valid),
+        kernel, mins, cuts, r, k, hist_size, 64,
+    )
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(hb1), np.asarray(hb2))
+    assert int(nh1) == int(nh2)
+    np.testing.assert_array_equal(np.asarray(top1), np.asarray(top2))
+
+
+def test_resident_batching_partition(input_dir):
+    """batch_runs(resident=True) must cover exactly the same chunks as
+    resident=False, with backbone rows moved to descriptor batches."""
+    from grafimo_tpu.graph.sitegraph import build_graph
+    from grafimo_tpu.io.fasta import read_fasta
+    from grafimo_tpu.io.vcf import iter_vcf_records
+    from grafimo_tpu.runscan import batch_runs, build_region_runs
+
+    seqs = read_fasta(str(input_dir / "test.fa"))
+    records = list(iter_vcf_records(str(input_dir / "test.vcf.gz"), "x"))
+    graph = build_graph("x", seqs["x"], records)
+    k = 7
+    rrs1 = build_region_runs(graph, "x", [(0, 50), (10, 45)], k)
+    plain = batch_runs(rrs1, k, resident=False)
+    rrs2 = build_region_runs(graph, "x", [(0, 50), (10, 45)], k)
+    res = batch_runs(rrs2, k, resident=True)
+
+    def chunk_set(batches):
+        return sorted(
+            (c.source, c.chunk_off) for b in batches for c in b.chunks
+        )
+
+    assert chunk_set(plain) == chunk_set(res)
+    assert any(b.gstart is not None for b in res)
+    for b in res:
+        if b.gstart is None:
+            continue
+        # every resident chunk is a backbone slice whose genome offset
+        # reproduces the packed content
+        for gs, c in zip(b.gstart.tolist(), b.chunks):
+            assert c.source[1][0] == -1
+            region = c.source[0].split(":")[1]
+            lo = max(0, int(region.split("-")[0]))
+            assert gs == lo + c.chunk_off
+
+
+def test_resident_scan_end_to_end(input_dir):
+    """Full compute_results_runs with residency on vs off: identical
+    reports."""
+    from grafimo_tpu.graph.sitegraph import build_graph
+    from grafimo_tpu.io.fasta import read_fasta
+    from grafimo_tpu.io.vcf import iter_vcf_records
+    from grafimo_tpu.models.parse import load_motifs
+    from grafimo_tpu.runscan import batch_runs, compute_results_runs
+    from grafimo_tpu.runscan import build_region_runs
+    from grafimo_tpu.utils.constants import UNIF
+    import grafimo_tpu.runscan as rs
+
+    seqs = read_fasta(str(input_dir / "test.fa"))
+    records = list(iter_vcf_records(str(input_dir / "test.vcf.gz"), "x"))
+    graph = build_graph("x", seqs["x"], records)
+    motifs = load_motifs(str(input_dir / "MA0139.1.meme"), UNIF, 0.1, False)
+
+    def run(resident):
+        orig = rs.batch_runs
+        rs.batch_runs = lambda *a, **kw: orig(
+            *a, **{**kw, "resident": resident}
+        )
+        try:
+            rrs = build_region_runs(graph, "x", [(0, 50)], motifs[0].width)
+            return compute_results_runs(motifs, rrs, threshold=1.0)
+        finally:
+            rs.batch_runs = orig
+
+    df_res = run(True)["MA0139.1"]
+    df_plain = run(False)["MA0139.1"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(df_res, df_plain)
