@@ -192,6 +192,99 @@ def sharded_run_scan(mesh: Mesh, k: int, hist_size: int):
     return run
 
 
+def sharded_resident_scan(
+    mesh: Mesh, r: int, k: int, hist_size: int, with_n: bool = False
+):
+    """Multi-chip device-resident backbone scan
+    (``ops/score_runs.scan_runs_resident_topk``'s expansion inside a
+    ``shard_map``): the packed chromosome is REPLICATED on every chip
+    (uploaded once, tiny vs HBM), run descriptors shard over ``data``,
+    PWM columns over ``motif``, histograms psum over ``data``.
+
+    Returns ``run(genome4, [ngenome,] gstart, vbits, pwm_kernel,
+    min_scores, cutoffs) -> (hist, hitbits, hit_counts)``.  Pad ``gstart``
+    to the data-axis size with 0s and pad ``vbits`` with all-zero rows —
+    padding windows are invalid and drop from histograms and counts.
+    """
+    from grafimo_tpu.ops.score_runs import (
+        _expand_resident,
+        _expand_resident_bits,
+        _score_codes,
+    )
+
+    def _finish(hist, hitbits):
+        hist = jax.lax.psum(hist, "data")
+        counts = jnp.sum(
+            jax.lax.population_count(hitbits.astype(jnp.uint32)),
+            axis=(0, 1),
+        ).astype(jnp.int32)
+        counts = jax.lax.psum(counts, "data")
+        return hist, hitbits, counts
+
+    if with_n:
+        def _step(genome4, ngenome, gstart, vbits, pwm_kernel,
+                  min_scores, cutoffs):
+            codes = _expand_resident(genome4, gstart, r)
+            n_ind = _expand_resident_bits(ngenome, gstart, r)
+            hist, hitbits = _score_codes(
+                codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs,
+                k, hist_size,
+            )
+            return _finish(hist, hitbits)
+
+        in_specs = (
+            P(None), P(None), P("data"), P("data", None),
+            P(None, None, "motif"), P("motif"), P("motif"),
+        )
+    else:
+        def _step(genome4, gstart, vbits, pwm_kernel, min_scores,
+                  cutoffs):
+            codes = _expand_resident(genome4, gstart, r)
+            hist, hitbits = _score_codes(
+                codes, None, vbits, pwm_kernel, min_scores, cutoffs,
+                k, hist_size,
+            )
+            return _finish(hist, hitbits)
+
+        in_specs = (
+            P(None), P("data"), P("data", None),
+            P(None, None, "motif"), P("motif"), P("motif"),
+        )
+
+    step = jax.jit(
+        jax.shard_map(
+            _step,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(
+                P(None, "motif"),
+                P("data", None, "motif"),
+                P("motif"),
+            ),
+        )
+    )
+
+    def run(*args):
+        genome_args = args[: 2 if with_n else 1]
+        gstart, vbits, pwm_kernel, min_scores, cutoffs = args[
+            2 if with_n else 1 :
+        ]
+        sh_data = NamedSharding(mesh, P("data"))
+        sh_rows = NamedSharding(mesh, P("data", None))
+        rep = NamedSharding(mesh, P(None))
+        put = [jax.device_put(g, rep) for g in genome_args]
+        return step(
+            *put,
+            jax.device_put(np.asarray(gstart, dtype=np.int32), sh_data),
+            jax.device_put(vbits, sh_rows),
+            jnp.asarray(pwm_kernel),
+            jnp.asarray(min_scores, dtype=jnp.int32),
+            jnp.asarray(cutoffs, dtype=jnp.int32),
+        )
+
+    return run
+
+
 def pad_batch(codes: np.ndarray, multiple: int, pad_code: int = PAD_CODE):
     """Pad the window batch to a multiple of the data-shard count.  Padding
     rows carry ``PAD_CODE`` and score ``-1``: they are dropped from

@@ -76,3 +76,46 @@ def test_mesh_uses_all_devices():
     assert len(jax.devices()) == 8
     mesh = make_mesh()
     assert mesh.devices.size == 8
+
+
+def test_sharded_resident_matches_single_device(ctcf):
+    """Resident multi-chip step == single-device resident scan."""
+    import jax.numpy as jnp
+
+    from grafimo_tpu.ops.score_runs import (
+        pack_bits,
+        pack_run_seqs,
+        pwms_to_conv_kernel,
+        scan_runs_resident_topk,
+    )
+    from grafimo_tpu.parallel.pipeline import sharded_resident_scan
+
+    rng = np.random.default_rng(3)
+    k = ctcf.width
+    R = 64
+    noff = R - k + 1
+    B = 64
+    L = 4096
+    genome = rng.integers(0, 4, L).astype(np.uint8)
+    genome4 = pack_run_seqs(genome[None, :])[0]
+    gstart = rng.integers(0, L - R, B).astype(np.int32)
+    valid = rng.random((B, noff)) < 0.8
+    vbits = pack_bits(valid)
+    kernel = pwms_to_conv_kernel(
+        [ctcf.score_matrix, reverse_complement_pwm(ctcf.score_matrix)]
+    )
+    mins = np.array([ctcf.min_score] * 2, np.int32)
+    cuts = mins + 4000
+    hs = hist_size_for_width(k)
+
+    z = jnp.zeros((hs, 2), jnp.int32)
+    ref_hist, ref_hb, ref_nh, _ = scan_runs_resident_topk(
+        z, jnp.asarray(genome4), None, jnp.asarray(gstart), vbits,
+        kernel, mins, cuts, R, k, hs, 64,
+    )
+    mesh = make_mesh(n_data=4, n_motif=2)
+    run = sharded_resident_scan(mesh, R, k, hs)
+    hist, hitbits, counts = run(genome4, gstart, vbits, kernel, mins, cuts)
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(ref_hist))
+    np.testing.assert_array_equal(np.asarray(hitbits), np.asarray(ref_hb))
+    assert int(np.asarray(counts).sum()) == int(ref_nh)
