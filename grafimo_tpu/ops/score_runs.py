@@ -335,6 +335,40 @@ def scan_runs_resident_topk(
     )
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def absorb_slice(nh_acc, top_acc, n_hits, top_vals, i):
+    """Record one scan slice's results into the donated per-block
+    accumulators at row ``i``: its hit count and the first ``SMALLK``
+    (= ``top_acc.shape[1]``) compacted hit flat-indices.
+
+    A tiny device-side dispatch per slice so the host can fetch an entire
+    block of slice results in ONE device->host transfer
+    (:func:`package_block`) — device->host round trips through the TPU
+    tunnel cost up to ~0.7s each and otherwise dominate scan wall time.
+    """
+    smallk = top_acc.shape[1]
+    t = top_vals[:smallk]
+    if t.shape[0] < smallk:
+        t = jnp.pad(t, (0, smallk - t.shape[0]))
+    nh_acc = jax.lax.dynamic_update_index_in_dim(nh_acc, n_hits, i, 0)
+    top_acc = jax.lax.dynamic_update_slice(top_acc, t[None, :], (i, 0))
+    return nh_acc, top_acc
+
+
+@partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1, 2))
+def package_block(hist_acc, nh_acc, top_acc, n: int):
+    """Bundle one flush block — histogram accumulator + the first ``n``
+    rows of the slice accumulators — into a single flat int32 array, so
+    the host pays ONE device->host round trip per block instead of three
+    (histogram, hit counts, hit indices).  ``n`` is static: callers round
+    the live slice count up to a power of two to bound recompiles."""
+    parts = [hist_acc.reshape(-1)]
+    if n:
+        parts.append(nh_acc[:n])
+        parts.append(top_acc[:n].reshape(-1))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 @partial(jax.jit, static_argnames=("k", "hist_size"), donate_argnums=(0,))
 def scan_runs_device_acc(
     hist_acc, packed, nbits, vbits, pwm_kernel, min_scores, cutoffs,

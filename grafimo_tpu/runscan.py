@@ -43,6 +43,16 @@ from grafimo_tpu.report.results import apply_report_filters, build_results_df
 from grafimo_tpu.utils.constants import RANGE
 
 BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+# on-device hit compaction capacity per scan slice; > SCAN_TOPK hits in
+# one slice falls back to fetching its full bitmask
+SCAN_TOPK = 1 << 13
+# hit flat-indices fetched speculatively per slice inside the block
+# fetch (covers almost every slice; SCAN_SMALLK < n_hits <= SCAN_TOPK
+# costs one extra per-slice fetch)
+SCAN_SMALLK = 1 << 10
+# slices per device->host fetch block; also bounds int32 histogram
+# accumulation (the int64 host total absorbs each block)
+SCAN_FLUSH_SLICES = 1024
 # device-batch size cap: rows are sliced so rows*R stays under this many
 # bases per dispatch (bounds the one-hot / scores HBM footprint: 16M
 # bases => ~130MB one-hot + ~260MB scores at m=4 — comfortably inside
@@ -443,26 +453,66 @@ def scan_batches(
     import jax.numpy as jnp
 
     from grafimo_tpu.ops.score_runs import (
+        absorb_slice,
+        package_block,
         scan_runs_device_topk,
         scan_runs_resident_topk,
     )
 
-    TOPK = 1 << 13
+    TOPK = SCAN_TOPK
+    SMALLK = SCAN_SMALLK
+    FLUSH_SLICES = SCAN_FLUSH_SLICES
     # HBM-resident packed chromosomes, uploaded once per scan
     genome_dev: Dict[int, tuple] = {}
     m = pwm_kernel.shape[-1]
     hits: List[Tuple[Tuple[str, int], int, int]] = []
     t0 = time.perf_counter()
-    # histogram accumulates on device (donated buffer); hit bits are
-    # fetched asynchronously per batch — one device->host histogram
-    # round-trip per scan, not per batch
+    # everything accumulates on device (donated buffers); ONE device->
+    # host round trip per FLUSH_SLICES slices fetches histogram + hit
+    # counts + compacted hit indices together (tunnel round trips cost
+    # up to ~0.7s each — they, not bandwidth, dominate genome scans)
     hist_acc = jnp.zeros((hist_size, m), jnp.int32)
+    nh_acc = jnp.zeros((FLUSH_SLICES,), jnp.int32)
+    top_acc = jnp.zeros((FLUSH_SLICES, SMALLK), jnp.int32)
     hist_host = np.zeros((hist_size, m), dtype=np.int64)
-    # flush the device accumulator to the int64 host total periodically:
-    # a genome-scale scan can push single int32 bins toward overflow
-    FLUSH_EVERY = 4096
-    since_flush = 0
-    pending = []
+    # per-slice entries [batch, row0, hitbits, top_idx, n_hits, top_small]
+    pending: List[list] = []
+    n_in_block = 0
+
+    def _flush():
+        nonlocal hist_acc, nh_acc, top_acc, n_in_block
+        n_pow2 = 1
+        while n_pow2 < n_in_block:
+            n_pow2 *= 2
+        n_pow2 = min(n_pow2, FLUSH_SLICES)
+        flat = np.asarray(
+            package_block(
+                hist_acc, nh_acc, top_acc, n_pow2 if n_in_block else 0
+            )
+        )
+        hs = hist_size * m
+        hist_host[:, :] += flat[:hs].astype(np.int64).reshape(hist_size, m)
+        hist_acc = jnp.zeros((hist_size, m), jnp.int32)
+        if not n_in_block:
+            return
+        nh_blk = flat[hs : hs + n_pow2]
+        tops = flat[hs + n_pow2 :].reshape(n_pow2, SMALLK)
+        base = len(pending) - n_in_block
+        for j in range(n_in_block):
+            ent = pending[base + j]
+            nh = int(nh_blk[j])
+            ent[4] = nh
+            ent[5] = tops[j]
+            # release device buffers that can no longer be needed (frees
+            # HBM while the scan is still running)
+            if nh <= SMALLK:
+                ent[2] = ent[3] = None
+            elif nh <= TOPK:
+                ent[2] = None
+        nh_acc = jnp.zeros((FLUSH_SLICES,), jnp.int32)
+        top_acc = jnp.zeros((FLUSH_SLICES, SMALLK), jnp.int32)
+        n_in_block = 0
+
     for batch in batches:
         # slice large batches so device intermediates stay bounded; the
         # dominant intermediates scale with rows*R (one-hot) AND with
@@ -512,48 +562,30 @@ def scan_batches(
                     pwm_kernel, min_scores.astype(np.int32),
                     cutoffs.astype(np.int32), k, hist_size, TOPK,
                 )
-            pending.append((batch, lo, hitbits, n_hits, top_idx))
-            since_flush += 1
-            if since_flush >= FLUSH_EVERY:
-                hist_host += np.asarray(hist_acc).astype(np.int64)
-                hist_acc = jnp.zeros((hist_size, m), jnp.int32)
-                since_flush = 0
-    hist_total = hist_host + np.asarray(hist_acc).astype(np.int64)
-    # fetch the per-slice hit counts in fixed-size blocks: one device->
-    # host round trip per 256 slices instead of one per slice (tunnel
-    # round trips dominate genome-scale scans otherwise); the block size
-    # is fixed so the stacking concat compiles once
-    nh_all = np.zeros(len(pending), dtype=np.int64)
-    if collect_hits and pending:
-        NH_BLOCK = 256
-        for b0 in range(0, len(pending), NH_BLOCK):
-            blk = [p[3] for p in pending[b0 : b0 + NH_BLOCK]]
-            pad = NH_BLOCK - len(blk)
-            stacked = jnp.stack(blk + [blk[-1]] * pad)
-            nh_all[b0 : b0 + len(blk)] = np.asarray(stacked)[: len(blk)]
-    # prefetch the compacted hit indices of every hit slice in blocks —
-    # like n_hits above, one round trip per block instead of per slice
-    by_len: Dict[int, List[int]] = {}
-    for i, nh in enumerate(nh_all.tolist()):
-        if 0 < nh <= TOPK:
-            by_len.setdefault(pending[i][4].shape[0], []).append(i)
-    top_host: Dict[int, np.ndarray] = {}
-    IDX_BLOCK = 64
-    for hit_slices in by_len.values():
-        for b0 in range(0, len(hit_slices), IDX_BLOCK):
-            blk = hit_slices[b0 : b0 + IDX_BLOCK]
-            stacked = np.asarray(jnp.stack([pending[i][4] for i in blk]))
-            for j, i in enumerate(blk):
-                top_host[i] = stacked[j]
-    for pi, ((batch, row0, hitbits, n_hits, top_idx), nh) in enumerate(
-        zip(pending, nh_all.tolist())
-    ):
+            if collect_hits:
+                nh_acc, top_acc = absorb_slice(
+                    nh_acc, top_acc, n_hits, top_idx,
+                    np.int32(n_in_block),
+                )
+                pending.append([batch, lo, hitbits, top_idx, 0, None])
+                n_in_block += 1
+                if n_in_block >= FLUSH_SLICES:
+                    _flush()
+    _flush()
+    hist_total = hist_host
+    for (batch, row0, hitbits, top_idx, nh, top_small) in pending:
         if nh == 0:
             continue
         noff = batch.R - k + 1
-        if nh <= TOPK:
-            # compacted path: a few KB of flat indices per slice
-            flat = top_host[pi][:nh] - 1
+        if nh <= SMALLK:
+            # speculative small fetch already covered this slice
+            flat = top_small[:nh] - 1
+        elif nh <= TOPK:
+            # compacted path: a few KB of flat indices for this slice
+            flat = np.asarray(top_idx)[:nh] - 1
+        else:
+            flat = None
+        if flat is not None:
             rows, rem = np.divmod(flat, noff * m)
             offs, cols = np.divmod(rem, m)
         else:

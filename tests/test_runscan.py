@@ -94,3 +94,25 @@ def test_runscan_n_handling(ctcf):
 
     lookup = PvalueLookup(ctcf.pval_table)
     assert lookup.pvalue(ctcf.min_score) == 1.0
+
+
+def test_runscan_fetch_tiers(toy_graph, ctcf, monkeypatch):
+    """The block-fetch machinery must be exact across all three hit-fetch
+    tiers (speculative SMALLK indices / per-slice top-k fetch / full
+    bitmask fallback) and across multiple flush blocks."""
+    import grafimo_tpu.runscan as rs
+
+    batch = extract_region(toy_graph, 0, 50, 19, chrom_display="x")
+    want = compute_results(ctcf, [batch], threshold=1.0, recomb=True)
+    for smallk, topk, flush in [(2, 4, 1), (4, 64, 2), (1, 2, 3)]:
+        monkeypatch.setattr(rs, "SCAN_SMALLK", smallk)
+        monkeypatch.setattr(rs, "SCAN_TOPK", topk)
+        monkeypatch.setattr(rs, "SCAN_FLUSH_SLICES", flush)
+        monkeypatch.setattr(rs, "MAX_BASES_PER_DISPATCH", 64)
+        rr = build_region_runs(toy_graph, "x", [(0, 50)], 19)
+        got = compute_results_runs(
+            [ctcf], rr, threshold=1.0, recomb=True
+        )[ctcf.motif_id]
+        pd.testing.assert_frame_equal(
+            _canon(got), _canon(want), check_exact=True
+        )
