@@ -355,7 +355,7 @@ def absorb_slice(nh_acc, top_acc, n_hits, top_vals, i):
     return nh_acc, top_acc
 
 
-@partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnames=("n",))
 def package_block(hist_acc, nh_acc, top_acc, n: int):
     """Bundle one flush block — histogram accumulator + the first ``n``
     rows of the slice accumulators — into a single flat int32 array, so
