@@ -462,6 +462,36 @@ def scan_batches(
     TOPK = SCAN_TOPK
     SMALLK = SCAN_SMALLK
     FLUSH_SLICES = SCAN_FLUSH_SLICES
+    # multi-chip: shard slice rows over a (data,) mesh of all local
+    # devices and run the SAME jitted kernels partitioned by GSPMD — XLA
+    # inserts the cross-chip reductions for histogram / hit-count /
+    # compaction ops (SURVEY.md §2.18: data-parallel windows, replicated
+    # PWM + chromosome).  Sharding never changes values, only layout, so
+    # the single-device and N-device paths are bit-identical.  One
+    # device => plain local execution.
+    import os
+
+    devs = jax.devices()
+    mesh = None
+    if len(devs) > 1 and not os.environ.get("GRAFIMO_TPU_SINGLE_DEVICE"):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(devs), ("data",))
+        s_rep = NamedSharding(mesh, PartitionSpec())
+        s_rows = NamedSharding(mesh, PartitionSpec("data"))
+        n_data = len(devs)
+
+    def _rep(x):
+        """Replicate over the mesh (no-op single-device)."""
+        return jax.device_put(x, s_rep) if mesh is not None else x
+
+    def _rows(x):
+        """Shard dim 0 over the mesh data axis (no-op single-device)."""
+        return jax.device_put(x, s_rows) if mesh is not None else x
+
+    pwm_dev = _rep(pwm_kernel)
+    mins_dev = _rep(min_scores.astype(np.int32))
+    cuts_dev = _rep(cutoffs.astype(np.int32))
     # HBM-resident packed chromosomes, uploaded once per scan
     genome_dev: Dict[int, tuple] = {}
     m = pwm_kernel.shape[-1]
@@ -471,9 +501,9 @@ def scan_batches(
     # host round trip per FLUSH_SLICES slices fetches histogram + hit
     # counts + compacted hit indices together (tunnel round trips cost
     # up to ~0.7s each — they, not bandwidth, dominate genome scans)
-    hist_acc = jnp.zeros((hist_size, m), jnp.int32)
-    nh_acc = jnp.zeros((FLUSH_SLICES,), jnp.int32)
-    top_acc = jnp.zeros((FLUSH_SLICES, SMALLK), jnp.int32)
+    hist_acc = _rep(jnp.zeros((hist_size, m), jnp.int32))
+    nh_acc = _rep(jnp.zeros((FLUSH_SLICES,), jnp.int32))
+    top_acc = _rep(jnp.zeros((FLUSH_SLICES, SMALLK), jnp.int32))
     hist_host = np.zeros((hist_size, m), dtype=np.int64)
     # per-slice entries [batch, row0, hitbits, top_idx, n_hits, top_small]
     pending: List[list] = []
@@ -492,7 +522,7 @@ def scan_batches(
         )
         hs = hist_size * m
         hist_host[:, :] += flat[:hs].astype(np.int64).reshape(hist_size, m)
-        hist_acc = jnp.zeros((hist_size, m), jnp.int32)
+        hist_acc = _rep(jnp.zeros((hist_size, m), jnp.int32))
         if not n_in_block:
             return
         nh_blk = flat[hs : hs + n_pow2]
@@ -509,8 +539,8 @@ def scan_batches(
                 ent[2] = ent[3] = None
             elif nh <= TOPK:
                 ent[2] = None
-        nh_acc = jnp.zeros((FLUSH_SLICES,), jnp.int32)
-        top_acc = jnp.zeros((FLUSH_SLICES, SMALLK), jnp.int32)
+        nh_acc = _rep(jnp.zeros((FLUSH_SLICES,), jnp.int32))
+        top_acc = _rep(jnp.zeros((FLUSH_SLICES, SMALLK), jnp.int32))
         n_in_block = 0
 
     for batch in batches:
@@ -530,8 +560,10 @@ def scan_batches(
             if gkey not in genome_dev:
                 c4, npl = _resident_genome(batch.graph)
                 genome_dev[gkey] = (
-                    jax.device_put(c4),
-                    jax.device_put(npl) if npl is not None else None,
+                    _rep(c4) if mesh is not None else jax.device_put(c4),
+                    (_rep(npl) if mesh is not None else jax.device_put(npl))
+                    if npl is not None
+                    else None,
                 )
         n_rows = (
             batch.gstart.shape[0]
@@ -544,23 +576,47 @@ def scan_batches(
             # branch in ops/score_runs._scan_core)
             vb = batch.vbits[lo:hi]
             vb = None if (vb == full_row).all() else vb
+            # pad rows to a multiple of the mesh data axis; pad rows are
+            # all-invalid (zero vbits) so they never reach histograms,
+            # hit bits or hit indices
+            pad = (-(hi - lo)) % n_data if mesh is not None else 0
+            if pad:
+                if vb is None:
+                    vb = np.tile(full_row, (hi - lo, 1))
+                vb = np.concatenate(
+                    [vb, np.zeros((pad, vb.shape[1]), np.uint8)]
+                )
+            if vb is not None:
+                vb = _rows(vb)
             if batch.gstart is not None:
                 g4, gn = genome_dev[id(batch.graph)]
+                gs = batch.gstart[lo:hi]
+                if pad:
+                    gs = np.concatenate([gs, np.zeros(pad, gs.dtype)])
                 hist_acc, hitbits, n_hits, top_idx = (
                     scan_runs_resident_topk(
-                        hist_acc, g4, gn, batch.gstart[lo:hi], vb,
-                        pwm_kernel, min_scores.astype(np.int32),
-                        cutoffs.astype(np.int32), batch.R, k, hist_size,
-                        TOPK,
+                        hist_acc, g4, gn, _rows(gs), vb,
+                        pwm_dev, mins_dev, cuts_dev, batch.R, k,
+                        hist_size, TOPK,
                     )
                 )
             else:
                 nb = batch.nbits[lo:hi]
                 nb = None if not nb.any() else nb
+                pk = batch.packed[lo:hi]
+                if pad:
+                    pk = np.concatenate(
+                        [pk, np.zeros((pad, pk.shape[1]), np.uint8)]
+                    )
+                    if nb is not None:
+                        nb = np.concatenate(
+                            [nb, np.zeros((pad, nb.shape[1]), np.uint8)]
+                        )
+                if nb is not None:
+                    nb = _rows(nb)
                 hist_acc, hitbits, n_hits, top_idx = scan_runs_device_topk(
-                    hist_acc, batch.packed[lo:hi], nb, vb,
-                    pwm_kernel, min_scores.astype(np.int32),
-                    cutoffs.astype(np.int32), k, hist_size, TOPK,
+                    hist_acc, _rows(pk), nb, vb,
+                    pwm_dev, mins_dev, cuts_dev, k, hist_size, TOPK,
                 )
             if collect_hits:
                 nh_acc, top_acc = absorb_slice(
