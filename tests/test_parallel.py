@@ -119,3 +119,54 @@ def test_sharded_resident_matches_single_device(ctcf):
     np.testing.assert_array_equal(np.asarray(hist), np.asarray(ref_hist))
     np.testing.assert_array_equal(np.asarray(hitbits), np.asarray(ref_hb))
     assert int(np.asarray(counts).sum()) == int(ref_nh)
+
+
+def test_scan_batches_mesh_identity(monkeypatch):
+    """The GSPMD-sharded production scan (8 virtual devices) must be
+    bit-identical to the forced single-device path — sharding changes
+    layout, never values."""
+    import numpy as np
+
+    from grafimo_tpu.models.parse import load_motifs
+    from grafimo_tpu.models.pvalue import PvalueLookup
+    from grafimo_tpu.ops.score_jax import reverse_complement_pwm
+    from grafimo_tpu.ops.score_runs import (
+        pack_bits,
+        pack_run_seqs,
+        pwms_to_conv_kernel,
+    )
+    from grafimo_tpu.runscan import DeviceBatch, RunChunk, scan_batches
+    from grafimo_tpu.utils.constants import UNIF
+    from tests.conftest import DATA
+
+    motif = load_motifs(
+        str(DATA / "input" / "MA0139.1.meme"), UNIF, 0.1, False
+    )[0]
+    k = motif.width
+    hs = 1000 * k + 1
+    kern = pwms_to_conv_kernel(
+        [motif.score_matrix, reverse_complement_pwm(motif.score_matrix)]
+    )
+    mins = np.array([motif.min_score] * 2, np.int32)
+    cut = PvalueLookup(motif.pval_table).score_cutoff(1e-3)
+    cuts = np.array([cut] * 2, np.int32)
+    rng = np.random.default_rng(7)
+    B, R = 37, 64  # deliberately NOT a multiple of the 8-device mesh
+    noff = R - k + 1
+    codes = rng.integers(0, 4, (B, R)).astype(np.uint8)
+    nmask = np.zeros((B, R), bool)
+    nmask[3, 10] = True
+    valid = rng.random((B, noff)) < 0.9
+    chunks = [RunChunk(("t", (-1, 0)), 0) for _ in range(B)]
+    batch = DeviceBatch(
+        R=R, packed=pack_run_seqs(codes), nbits=pack_bits(nmask),
+        vbits=pack_bits(valid), chunks=chunks,
+    )
+    res_mesh = scan_batches([batch], kern, mins, cuts, k, hs)
+    monkeypatch.setenv("GRAFIMO_TPU_SINGLE_DEVICE", "1")
+    res_one = scan_batches([batch], kern, mins, cuts, k, hs)
+    assert (res_mesh.hists == res_one.hists).all()
+    assert sorted(res_mesh.hits) == sorted(res_one.hits)
+    assert res_mesh.n_windows_per_col.tolist() == [
+        int(valid.sum())
+    ] * 2
