@@ -6,9 +6,6 @@ it through an ``exception_handler`` that prints a one-line message unless
 but raise normal exceptions internally; the CLI layer decides presentation.
 """
 
-import sys
-
-
 class GrafimoError(Exception):
     """Base class for all framework errors."""
 
@@ -55,12 +52,3 @@ class NotValidMotifMatrixError(GrafimoError):
 
 class SubprocessError(GrafimoError):
     pass
-
-
-def exception_handler(exc_type, message: str, debug: bool):
-    """Raise with full traceback when ``debug`` else print a short red error
-    and exit(1) (reference ``utils.py:63-80``)."""
-    if debug:
-        raise exc_type(f"\n\n{message}")
-    sys.stderr.write(f"\033[31m\n\nERROR: {message}\033[0m")
-    sys.exit(1)

@@ -471,7 +471,11 @@ def scan_batches(
     # device => plain local execution.
     import os
 
-    devs = jax.devices()
+    # local devices only: auto-sharding device_puts host-local numpy
+    # arrays, which cannot land on non-addressable devices of a multi-
+    # process run (multi-host data parallelism shards REGIONS per
+    # process instead, parallel/cluster.py)
+    devs = jax.local_devices()
     mesh = None
     if len(devs) > 1 and not os.environ.get("GRAFIMO_TPU_SINGLE_DEVICE"):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
@@ -508,9 +512,15 @@ def scan_batches(
     # per-slice entries [batch, row0, hitbits, top_idx, n_hits, top_small]
     pending: List[list] = []
     n_in_block = 0
+    # kernel dispatches since the last flush, counted UNCONDITIONALLY —
+    # hist-only passes (collect_hits=False, e.g. the --qvalueT pre-pass)
+    # must flush too, or genome-scale scans push single int32 histogram
+    # bins toward overflow before the final flush
+    since_flush = 0
 
     def _flush():
-        nonlocal hist_acc, nh_acc, top_acc, n_in_block
+        nonlocal hist_acc, nh_acc, top_acc, n_in_block, since_flush
+        since_flush = 0
         n_pow2 = 1
         while n_pow2 < n_in_block:
             n_pow2 *= 2
@@ -539,6 +549,10 @@ def scan_batches(
                 ent[2] = ent[3] = None
             elif nh <= TOPK:
                 ent[2] = None
+            else:
+                # dense slice: the bitmask fallback never reads top_idx
+                # (its contents clamp past topk) — free it now
+                ent[3] = None
         nh_acc = _rep(jnp.zeros((FLUSH_SLICES,), jnp.int32))
         top_acc = _rep(jnp.zeros((FLUSH_SLICES, SMALLK), jnp.int32))
         n_in_block = 0
@@ -618,6 +632,7 @@ def scan_batches(
                     hist_acc, _rows(pk), nb, vb,
                     pwm_dev, mins_dev, cuts_dev, k, hist_size, TOPK,
                 )
+            since_flush += 1
             if collect_hits:
                 nh_acc, top_acc = absorb_slice(
                     nh_acc, top_acc, n_hits, top_idx,
@@ -625,8 +640,8 @@ def scan_batches(
                 )
                 pending.append([batch, lo, hitbits, top_idx, 0, None])
                 n_in_block += 1
-                if n_in_block >= FLUSH_SLICES:
-                    _flush()
+            if since_flush >= FLUSH_SLICES:
+                _flush()
     _flush()
     hist_total = hist_host
     for (batch, row0, hitbits, top_idx, nh, top_small) in pending:
@@ -693,7 +708,12 @@ def compute_results_runs(
 
     start_device_warmup()
     k = motifs[0].width
-    assert all(mt.width == k for mt in motifs)
+    if not all(mt.width == k for mt in motifs):
+        raise ValueError(
+            "compute_results_runs scans one width per call: got widths "
+            f"{sorted({mt.width for mt in motifs})} — bucket motifs by "
+            "width first (findmotif does, workflows.py)"
+        )
     hist_size = RANGE * k + 1
     # PWM columns: per motif forward (+ reverse-complement unless
     # no_reverse); column -> (motif index, strand)

@@ -15,11 +15,8 @@ from grafimo_tpu.utils.constants import (  # noqa: F401
 )
 from grafimo_tpu.utils.misc import (  # noqa: F401
     almost_equal,
-    anydup,
-    initialize_chroms_list,
     is_numeric,
     lg2,
-    list_equal,
     parse_namemap,
 )
 from grafimo_tpu.utils.sniff import (  # noqa: F401

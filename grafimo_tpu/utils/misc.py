@@ -1,10 +1,10 @@
 """Small helpers shared across the framework (reference: ``src/grafimo/utils.py``)."""
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
-from grafimo_tpu.utils.constants import CHROMS_LIST, LOG_FACTOR, NOMAP
+from grafimo_tpu.utils.constants import LOG_FACTOR, NOMAP
 
 
 def lg2(value) -> np.double:
@@ -22,22 +22,6 @@ def almost_equal(value1, value2, slope) -> bool:
     return not ((value1 - slope) > value2 or (value1 + slope) < value2)
 
 
-def list_equal(lst1: List, lst2: List) -> bool:
-    """True when two lists hold the same distinct elements
-    (reference ``isListEqual``, ``utils.py:122-139``)."""
-    return len(lst1) == len(lst2) and set(lst1) == set(lst2)
-
-
-def anydup(lst: List) -> bool:
-    """True when the list contains duplicates (reference ``utils.py:143-160``)."""
-    seen = set()
-    for e in lst:
-        if e in seen:
-            return True
-        seen.add(e)
-    return False
-
-
 def is_numeric(s: str) -> bool:
     """True when the string parses as a float (reference ``utils.py:580-604``)."""
     try:
@@ -45,12 +29,6 @@ def is_numeric(s: str) -> bool:
     except ValueError:
         return False
     return True
-
-
-def initialize_chroms_list(args_chroms: List[str]) -> List[str]:
-    """Default to all human chromosomes when none given
-    (reference ``utils.py:165-183``)."""
-    return args_chroms if args_chroms else CHROMS_LIST
 
 
 def parse_namemap(namemap_fn: str) -> Dict[str, str]:
