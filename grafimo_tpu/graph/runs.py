@@ -427,6 +427,51 @@ def reconstruct_hit(graph: SiteGraph, run: Run, offset: int, k: int) -> RunHit:
     )
 
 
+def reconstruct_hits_batch(
+    graph: SiteGraph, run: Run, offsets: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorised :func:`reconstruct_hit` for report assembly: the fields
+    the report needs (no node paths), for MANY offsets of one run at once.
+    Dense-hit scans (threshold ~ 1 / testmode, reference
+    ``score_sequences.py:100-107``) reconstruct millions of windows — the
+    per-hit python path would dominate wall time.
+
+    Returns ``(begins (H,), ends (H,), seq_bytes (H, k) uint8 ASCII,
+    is_ref (H,) bool, freqs (H,) int64)``.
+    """
+    offs = np.asarray(offsets, dtype=np.int64)
+    begins = run.pos_begin[offs]
+    ends = run.pos_end[offs + k]
+    seq_b = np.frombuffer(run.seq.encode("ascii"), np.uint8)
+    seq_bytes = seq_b[offs[:, None] + np.arange(k, dtype=np.int64)[None, :]]
+    # is_ref == "no non-reference NODE in the window" (matches the
+    # path-based test in reconstruct_hit: deletions contribute no node and
+    # stay "ref"; reclassified downstream like the reference,
+    # score_sequences.py:305-307)
+    nonref = (~graph.node_is_ref[run.node_of_base]).astype(np.int64)
+    cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(nonref)])
+    is_ref = (cum[offs + k] - cum[offs]) == 0
+    freqs = np.zeros(len(offs), dtype=np.int64)
+    if graph.haplo is not None:
+        if not run.site_info:
+            freqs[:] = graph.haplo.count([])
+        else:
+            # choices vary only with the offset's determined-interval
+            # membership — a handful of distinct sets per run
+            memo: dict = {}
+            info = run.site_info
+            for i, o in enumerate(offs.tolist()):
+                key = tuple(
+                    (sid, a) for (sid, a, lo, hi) in info if lo <= o <= hi
+                )
+                f = memo.get(key)
+                if f is None:
+                    f = graph.haplo.count(list(key))
+                    memo[key] = f
+                freqs[i] = f
+    return begins, ends, seq_bytes, is_ref, freqs
+
+
 def expand_all_windows(
     graph: SiteGraph, runs: List[Run], k: int
 ) -> List[RunHit]:

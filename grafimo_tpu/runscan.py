@@ -25,7 +25,7 @@ import pandas as pd
 from grafimo_tpu.graph.runs import (
     Run,
     build_single_run,
-    reconstruct_hit,
+    reconstruct_hits_batch,
     region_runs,
 )
 from grafimo_tpu.graph.sitegraph import SiteGraph
@@ -677,18 +677,26 @@ def scan_batches(
     )
 
 
-_RC = str.maketrans("ACGTN", "TGCAN")
+# ASCII complement LUT (A<->T, C<->G, case-preserving; everything else —
+# N included — maps to itself)
+_COMP_LUT = np.arange(256, dtype=np.uint8)
+for _a, _b in (("A", "T"), ("C", "G"), ("a", "t"), ("c", "g")):
+    _COMP_LUT[ord(_a)], _COMP_LUT[ord(_b)] = ord(_b), ord(_a)
 
 
-def _score_window_host(seq: str, score_matrix: np.ndarray, min_score: int) -> int:
-    """Exact integer re-scoring of one window on host (for report rows)."""
-    total = 0
-    for i, ch in enumerate(seq):
-        c = "ACGT".find(ch.upper())
-        if c < 0:
-            return int(min_score)
-        total += int(score_matrix[c, i])
-    return total
+def _score_windows_host(
+    seq_bytes: np.ndarray, score_matrix: np.ndarray, min_score: int
+) -> np.ndarray:
+    """Exact integer re-scoring of ``(H, k)`` ASCII windows on host (report
+    rows; N-containing windows score ``min_score``, reference
+    ``score_sequences.py:376-378``)."""
+    codes = _SEQ_LUT[seq_bytes]
+    has_n = _N_LUT[seq_bytes].any(axis=1)
+    k = seq_bytes.shape[1]
+    sc = score_matrix[codes, np.arange(k, dtype=np.int64)[None, :]].sum(
+        axis=1, dtype=np.int64
+    )
+    return np.where(has_n, np.int64(min_score), sc)
 
 
 def compute_results_runs(
@@ -763,26 +771,17 @@ def compute_results_runs(
                 print(f"wrote scan checkpoint {cache_path}")
     by_key = {rr.key: rr for rr in region_runs_list}
 
-    if qval_t:
-        # q-thresholding needs the global histogram first: hist-only pass,
-        # then derive integer cutoffs from the q-values per score bin
-        pre = scan_batches(
-            batches, pwm_kernel, min_scores,
-            np.full(len(col_meta), hist_size, dtype=np.int32),
-            k, hist_size, collect_hits=False,
-        )
-        cutoffs = []
-        for ci, (mi, _) in enumerate(col_meta):
-            hist_m = _motif_hist(pre.hists, col_meta, mi)
-            qmap = qvalues_from_histogram(hist_m, lookups[mi].pvalues)
-            passing = [s for s, q in qmap.items() if q < threshold]
-            cutoffs.append(min(passing) if passing else hist_size)
-        cutoffs = np.array(cutoffs, dtype=np.int32)
-    else:
-        cutoffs = np.array(
-            [lookups[mi].score_cutoff(threshold) for mi, _ in col_meta],
-            dtype=np.int32,
-        )
+    # One pass serves both -t modes.  BH q-values dominate p-values
+    # (q_(i) = min_{j>=i} p_(j)·n/j and every term >= p_(i), so q >= p
+    # always): scanning with the p < t score cutoff collects a superset
+    # of the q < t hits, the exact q-values come from the SAME pass's
+    # histogram, and apply_report_filters drops the excess — no hist-only
+    # pre-pass re-uploading every batch (reference derives q after
+    # scoring too, score_sequences.py:401-430).
+    cutoffs = np.array(
+        [lookups[mi].score_cutoff(threshold) for mi, _ in col_meta],
+        dtype=np.int32,
+    )
 
     res = scan_batches(
         batches, pwm_kernel, min_scores, cutoffs, k, hist_size,
@@ -798,6 +797,58 @@ def compute_results_runs(
             f"({res.scoring_time:.2f}s)"
         )
 
+    # group hits by source run and reconstruct each run's hits in ONE
+    # vectorised batch — dense-hit scans (testmode-style threshold ~ 1)
+    # reconstruct millions of windows and a per-hit python loop would
+    # dominate wall time.  res.hits is sorted, so insertion order over
+    # sources + in-list order reproduce the exact global hit order.
+    by_source: Dict[Tuple[str, Tuple[int, int]], List[Tuple[int, int]]] = {}
+    for (source, g_off, col) in res.hits:
+        by_source.setdefault(source, []).append((g_off, col))
+    per_motif = [
+        {
+            "seqnames": [], "starts": [], "stops": [], "strands": [],
+            "scores": [], "seqs": [], "freqs": [], "refs": [],
+        }
+        for _ in motifs
+    ]
+    for source, lst in by_source.items():
+        rr = by_key[source[0]]
+        run = rr.get_run(source[1])
+        offs = np.array([o for o, _ in lst], dtype=np.int64)
+        cols = np.array([c for _, c in lst], dtype=np.int64)
+        begins, ends, seq_bytes, is_ref, freqs = reconstruct_hits_batch(
+            rr.graph, run, offs, k
+        )
+        scores = np.zeros(len(lst), dtype=np.int64)
+        seqs_out: List[Optional[str]] = [None] * len(lst)
+        for col in np.unique(cols).tolist():
+            sel = np.nonzero(cols == col)[0]
+            cmi, strand = col_meta[col]
+            sb = seq_bytes[sel]
+            if strand == "-":
+                sb = _COMP_LUT[sb][:, ::-1]
+            scores[sel] = _score_windows_host(
+                sb, motifs[cmi].score_matrix, motifs[cmi].min_score
+            )
+            for j, i in enumerate(sel.tolist()):
+                seqs_out[i] = sb[j].tobytes().decode("ascii")
+        for i, (_g_off, col) in enumerate(lst):
+            cmi, strand = col_meta[col]
+            rows = per_motif[cmi]
+            if strand == "+":
+                start, stop = int(begins[i]), int(ends[i])
+            else:
+                start, stop = int(ends[i]), int(begins[i])
+            rows["seqnames"].append(rr.key)
+            rows["starts"].append(start)
+            rows["stops"].append(stop)
+            rows["strands"].append(strand)
+            rows["scores"].append(int(scores[i]))
+            rows["seqs"].append(seqs_out[i])
+            rows["freqs"].append(int(freqs[i]))
+            rows["refs"].append("ref" if is_ref[i] else "non.ref")
+
     out: Dict[str, pd.DataFrame] = {}
     for mi, motif in enumerate(motifs):
         hist_m = _motif_hist(res.hists, col_meta, mi)
@@ -806,36 +857,7 @@ def compute_results_runs(
             if no_qvalue
             else qvalues_from_histogram(hist_m, lookups[mi].pvalues)
         )
-        rows = {
-            "seqnames": [], "starts": [], "stops": [], "strands": [],
-            "scores": [], "seqs": [], "freqs": [], "refs": [],
-        }
-        for (source, g_off, col) in res.hits:
-            cmi, strand = col_meta[col]
-            if cmi != mi:
-                continue
-            rr = by_key[source[0]]
-            run = rr.get_run(source[1])
-            hit = reconstruct_hit(rr.graph, run, g_off, k)
-            if strand == "+":
-                seq, start, stop = hit.seq, hit.begin, hit.end
-                score = _score_window_host(
-                    hit.seq, motif.score_matrix, motif.min_score
-                )
-            else:
-                seq = hit.seq.translate(_RC)[::-1]
-                start, stop = hit.end, hit.begin
-                score = _score_window_host(
-                    seq, motif.score_matrix, motif.min_score
-                )
-            rows["seqnames"].append(rr.key)
-            rows["starts"].append(start)
-            rows["stops"].append(stop)
-            rows["strands"].append(strand)
-            rows["scores"].append(score)
-            rows["seqs"].append(seq)
-            rows["freqs"].append(hit.freq)
-            rows["refs"].append("ref" if hit.is_ref else "non.ref")
+        rows = per_motif[mi]
         scores_int = np.array(rows["scores"], dtype=np.int64)
         pvalues = (
             lookups[mi].pvalues(scores_int)

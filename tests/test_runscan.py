@@ -116,3 +116,50 @@ def test_runscan_fetch_tiers(toy_graph, ctcf, monkeypatch):
         pd.testing.assert_frame_equal(
             _canon(got), _canon(want), check_exact=True
         )
+
+
+def test_qvalue_threshold_single_pass(toy_graph, ctcf, monkeypatch):
+    """--qvalueT derives q-cutoffs from the SAME pass's histogram (q >= p
+    under BH, so the p-cutoff superset covers every q < t hit) — no
+    hist-only pre-pass re-uploading every batch."""
+    import grafimo_tpu.runscan as rs
+
+    calls = []
+    real = rs.scan_batches
+
+    def counting(*args, **kwargs):
+        calls.append(kwargs.get("collect_hits", True))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(rs, "scan_batches", counting)
+    rr = build_region_runs(toy_graph, "x", [(0, 50)], 19)
+    rs.compute_results_runs([ctcf], rr, threshold=0.95, qval_t=True,
+                            recomb=True)
+    assert calls == [True]
+
+
+def test_reconstruct_hits_batch_matches_scalar(toy_graph):
+    """The vectorised report reconstructor equals reconstruct_hit
+    field-for-field on every window of every run type (backbone, cluster
+    combinations)."""
+    from grafimo_tpu.graph.runs import (
+        reconstruct_hit,
+        reconstruct_hits_batch,
+        region_runs,
+    )
+
+    k = 19
+    for run in region_runs(toy_graph, 0, 50, k):
+        offs = np.nonzero(run.valid)[0]
+        if not len(offs):
+            continue
+        begins, ends, seq_bytes, is_ref, freqs = reconstruct_hits_batch(
+            toy_graph, run, offs, k
+        )
+        for i, o in enumerate(offs.tolist()):
+            hit = reconstruct_hit(toy_graph, run, o, k)
+            assert int(begins[i]) == hit.begin
+            assert int(ends[i]) == hit.end
+            assert seq_bytes[i].tobytes().decode("ascii") == hit.seq
+            assert bool(is_ref[i]) == hit.is_ref
+            assert int(freqs[i]) == hit.freq
