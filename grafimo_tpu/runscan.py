@@ -448,6 +448,7 @@ def scan_batches(
     k: int,
     hist_size: int,
     collect_hits: bool = True,
+    progress: bool = False,
 ) -> RunScanResult:
     import jax
     import jax.numpy as jnp
@@ -517,9 +518,51 @@ def scan_batches(
     # must flush too, or genome-scale scans push single int32 histogram
     # bins toward overflow before the final flush
     since_flush = 0
+    # live progress (reference's polling progress bar,
+    # utils.py:607-654): enqueued/confirmed slice counts + windows/s +
+    # ETA, at most one line per second, overwritten in place on a tty
+    slices_done = 0
+    slices_confirmed = 0
+    total_slices = 0
+    for _b in batches:
+        _rows_per = max(
+            1, (MAX_BASES_PER_DISPATCH // max(1, m // 4)) // _b.R
+        )
+        _n = (
+            _b.gstart.shape[0]
+            if _b.gstart is not None
+            else _b.packed.shape[0]
+        )
+        total_slices += -(-_n // _rows_per)
+    last_progress = [t0]
+
+    def _progress():
+        if not progress:
+            return
+        import sys
+
+        now = time.perf_counter()
+        if now - last_progress[0] < 1.0 and slices_done < total_slices:
+            return
+        last_progress[0] = now
+        elapsed = now - t0
+        nwin = int(hist_host[:, 0].sum())
+        frac = slices_confirmed / max(1, total_slices)
+        rate = nwin / elapsed if elapsed > 0 else 0.0
+        eta = (
+            f"{elapsed * (1.0 - frac) / frac:.0f}s" if frac > 0 else "--"
+        )
+        end = "\r" if sys.stderr.isatty() else "\n"
+        sys.stderr.write(
+            f"scan: {slices_done}/{total_slices} slices enqueued, "
+            f"{slices_confirmed} done ({100 * frac:.0f}%), "
+            f"{nwin:,} windows/strand, {rate:,.0f} windows/s, "
+            f"ETA {eta}{end}"
+        )
 
     def _flush():
         nonlocal hist_acc, nh_acc, top_acc, n_in_block, since_flush
+        nonlocal slices_confirmed
         since_flush = 0
         n_pow2 = 1
         while n_pow2 < n_in_block:
@@ -533,6 +576,10 @@ def scan_batches(
         hs = hist_size * m
         hist_host[:, :] += flat[:hs].astype(np.int64).reshape(hist_size, m)
         hist_acc = _rep(jnp.zeros((hist_size, m), jnp.int32))
+        # the fetch above is a stream barrier: every enqueued slice has
+        # executed by the time it returns
+        slices_confirmed = slices_done
+        _progress()
         if not n_in_block:
             return
         nh_blk = flat[hs : hs + n_pow2]
@@ -633,6 +680,8 @@ def scan_batches(
                     pwm_dev, mins_dev, cuts_dev, k, hist_size, TOPK,
                 )
             since_flush += 1
+            slices_done += 1
+            _progress()
             if collect_hits:
                 nh_acc, top_acc = absorb_slice(
                     nh_acc, top_acc, n_hits, top_idx,
@@ -643,6 +692,11 @@ def scan_batches(
             if since_flush >= FLUSH_SLICES:
                 _flush()
     _flush()
+    if progress:
+        import sys
+
+        if sys.stderr.isatty():
+            sys.stderr.write("\n")
     hist_total = hist_host
     for (batch, row0, hitbits, top_idx, nh, top_small) in pending:
         if nh == 0:
@@ -785,10 +839,16 @@ def compute_results_runs(
 
     res = scan_batches(
         batches, pwm_kernel, min_scores, cutoffs, k, hist_size,
-        collect_hits=True,
+        collect_hits=True, progress=True,
     )
     # deterministic report order regardless of extraction threading
     res.hits.sort()
+    # scanned-work counters, reference format (score_sequences.py:202-203,
+    # counting one row per strand like the reference's TSV rows); one line
+    # per width bucket — every motif in the bucket scans the same windows
+    n_seqs = int(_motif_hist(res.hists, col_meta, 0).sum())
+    print(f"Scanned sequences:\t{n_seqs}")
+    print(f"Scanned nucleotides:\t{n_seqs * k}")
     if verbose:
         n_win = int(res.n_windows_per_col.max(initial=0))
         print(

@@ -127,3 +127,44 @@ def test_cli_flag_validation(tmp_path):
     # buildvg rejects findmotif flags; findmotif needs exactly one graph src
     assert main(["buildvg", "-b", "x.bed", "-l", "a.fa", "-v", "a.vcf"]) == 1
     assert main(["findmotif", "-b", "x.bed", "-m", "m.meme"]) == 1
+
+
+def test_scanned_counters_parity_across_engines(
+    input_dir, tmp_path, toy_bed, capsys
+):
+    """The runs engine prints the reference's scanned-work counters
+    (``Scanned sequences`` / ``Scanned nucleotides``,
+    score_sequences.py:202-203) with the SAME totals as the per-window
+    engine."""
+    graph_dir = tmp_path / "graphs"
+    graph_dir.mkdir()
+    assert main(
+        [
+            "buildvg",
+            "-l", str(input_dir / "test.fa"),
+            "-v", str(input_dir / "test.vcf.gz"),
+            "-o", str(graph_dir),
+        ]
+    ) == 0
+    capsys.readouterr()
+
+    def counters(engine):
+        out = tmp_path / f"res_{engine}"
+        assert main(
+            [
+                "findmotif",
+                "-d", str(graph_dir),
+                "-b", str(toy_bed),
+                "-m", str(input_dir / "MA0139.1.jaspar"),
+                "-t", "1", "--recomb",
+                "--engine", engine,
+                "-o", str(out),
+            ]
+        ) == 0
+        lines = capsys.readouterr().out.splitlines()
+        seqs = [l for l in lines if l.startswith("Scanned sequences:")]
+        nucs = [l for l in lines if l.startswith("Scanned nucleotides:")]
+        assert len(seqs) == 1 and len(nucs) == 1
+        return int(seqs[0].split("\t")[1]), int(nucs[0].split("\t")[1])
+
+    assert counters("runs") == counters("windows")
