@@ -258,6 +258,40 @@ def load_motifs(
         prepared = [_prepare_counts_motif(m, bgs, pseudocount) for m in raw]
     else:  # pragma: no cover - sniffer already raises
         raise MotifFileFormatError(f"unsupported motif format {fmt}")
+    return process_motifs(prepared)
+
+
+def process_motifs(prepared: List[Motif]) -> List[Motif]:
+    """Run the per-motif float64 pipeline (log-odds, scaling, Staden DP)
+    over many motifs, in parallel for large multi-motif files (the
+    reference pools MEME processing the same way, ``motif_ops.py:303-348``).
+
+    Processes, not threads: numpy's elementwise ops hold the GIL.  A
+    ``fork`` context keeps children from re-importing jax (the ambient
+    site hook would point them at the TPU tunnel); children do numpy-only
+    work.  Per-motif processing is independent and order is preserved, so
+    the result is bit-identical to the sequential path (tested,
+    ``test_multi_motif.py``).  Any pool failure falls back to sequential.
+    """
+    n = len(prepared)
+    workers = min(os.cpu_count() or 1, n // 8)
+    if n >= 16 and workers > 1:
+        try:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            ctx = multiprocessing.get_context("fork")
+            with ProcessPoolExecutor(
+                max_workers=workers, mp_context=ctx
+            ) as pool:
+                return list(
+                    pool.map(
+                        process_motif, prepared,
+                        chunksize=max(1, n // (workers * 4)),
+                    )
+                )
+        except Exception:
+            pass
     return [process_motif(m) for m in prepared]
 
 

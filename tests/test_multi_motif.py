@@ -119,3 +119,39 @@ def test_engines_agree_multi_chrom(input_dir, two_chrom_setup, tmp_path):
     pd.testing.assert_frame_equal(
         outs["runs"], outs["windows"], check_exact=True
     )
+
+
+def test_pooled_motif_processing_bit_identical(tmp_path):
+    """A 50-motif MEME file processes through the process pool with
+    results bit-identical to the sequential pipeline (reference pools
+    MEME files the same way, motif_ops.py:303-348)."""
+    from grafimo_tpu.models.background import load_bg
+    from grafimo_tpu.models.parse import _prepare_meme_motif, process_motifs
+    from grafimo_tpu.models.process import process_motif
+
+    rng = np.random.default_rng(7)
+    lines = ["MEME version 4", "", "ALPHABET= ACGT", ""]
+    for i in range(50):
+        w = int(rng.integers(8, 25))
+        lines.append(f"MOTIF S{i:03d}")
+        lines.append(
+            f"letter-probability matrix: alength= 4 w= {w} "
+            f"nsites= {int(rng.integers(20, 400))} E= 0"
+        )
+        for _ in range(w):
+            p = rng.dirichlet([1.0] * 4)
+            lines.append(" ".join(f"{x:.6f}" for x in p))
+        lines.append("")
+    path = tmp_path / "fifty.meme"
+    path.write_text("\n".join(lines))
+    motifs = load_motifs(str(path), UNIF, 0.1, False)
+    assert len(motifs) == 50
+    bgs = load_bg(UNIF, False)
+    seq = [
+        process_motif(_prepare_meme_motif(m, bgs, 0.1))
+        for m in parse_meme(str(path))
+    ]
+    for got, want in zip(motifs, seq):
+        np.testing.assert_array_equal(got.score_matrix, want.score_matrix)
+        np.testing.assert_array_equal(got.pval_table, want.pval_table)
+        assert got.scale == want.scale and got.offset == want.offset
