@@ -274,8 +274,13 @@ def gfa_to_sitegraph(
                         allele_idx = empties[0] if empties else 0
                 gts.append(allele_idx)
             records[ri].gt = gts
-        return build_graph(chrom, seq, records, with_haplotypes=True)
-    return build_graph(chrom, seq, records, with_haplotypes=False)
+        return build_graph(
+            chrom, seq, records, with_haplotypes=True,
+            prune_composite=True,
+        )
+    return build_graph(
+        chrom, seq, records, with_haplotypes=False, prune_composite=True
+    )
 
 
 def _haplotype_walks(graph: SiteGraph) -> List[Tuple[int, List[int]]]:

@@ -156,6 +156,244 @@ class SiteGraph:
             )
 
 
+# raw allele-combination cap for one overlap group; beyond it the group
+# degrades to keep-first-record (warned)
+MAX_OVERLAP_COMBOS = 4096
+
+
+def _gt_to_bitsets(gt, n_hap: int) -> Optional[dict]:
+    """Normalise one record's genotypes to ``{allele_idx: uint64 words}``
+    over alt alleles (ref derivable as the complement); None = no data."""
+    if gt is None or n_hap <= 0:
+        return None
+    words = (n_hap + 63) // 64
+    if isinstance(gt, dict):
+        out = {}
+        for a, src in gt.items():
+            row = np.zeros(words, dtype=np.uint64)
+            src = np.asarray(src, dtype=np.uint64)
+            n = min(words, src.size)
+            row[:n] = src[:n]
+            out[int(a)] = row
+        return out
+    arr = np.asarray(gt, dtype=np.int32)[:n_hap]
+    out = {}
+    for a in np.unique(arr[arr > 0]).tolist():
+        by = np.packbits(arr == a, bitorder="little")
+        row = np.zeros(words * 8, dtype=np.uint8)
+        row[: len(by)] = by
+        out[int(a)] = row.view(np.uint64)
+    return out
+
+
+def _full_words(n_hap: int) -> np.ndarray:
+    words = (n_hap + 63) // 64
+    full = np.full(words, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    rem = n_hap & 63
+    if words and rem:
+        full[-1] = (np.uint64(1) << np.uint64(rem)) - np.uint64(1)
+    return full
+
+
+def _splice(
+    seq: str, S: int, E: int, chosen: List[Tuple[int, int, str]]
+) -> str:
+    """Substitute ``(start, end, alt)`` choices (disjoint, sorted) into
+    ``seq[S:E]``."""
+    parts = []
+    cur = S
+    for s, e, alt in chosen:
+        parts.append(seq[cur:s])
+        parts.append(alt)
+        cur = e
+    parts.append(seq[cur:E])
+    return "".join(parts)
+
+
+def _enumerate_combos(sizes: List[int]) -> List[Tuple[int, ...]]:
+    """All index tuples with ``combo[i] < sizes[i]`` (last varies fastest,
+    the shared contract with ``graph/runs._combinations``)."""
+    combos: List[Tuple[int, ...]] = []
+    cur = [0] * len(sizes)
+    while True:
+        combos.append(tuple(cur))
+        i = len(sizes) - 1
+        while i >= 0:
+            cur[i] += 1
+            if cur[i] < sizes[i]:
+                break
+            cur[i] = 0
+            i -= 1
+        if i < 0:
+            break
+    return combos
+
+
+def _prune_composite_records(
+    seq: str, recs: List[Tuple[int, str, List[str], object]]
+) -> List[Tuple[int, str, List[str], object]]:
+    """Drop records every alt of which is exactly a splice of a
+    combination of the group's greedy-independent records.
+
+    The GFA snarl flattener (graph/gfa.py) emits one record per
+    anchor->reattachment path, so a CHAIN of adjacent bubbles (all-to-all
+    linked allele nodes) yields composite path records spanning several
+    bubbles on top of the per-bubble ones; merging those as if they were
+    independent variants would double-count paths.  Genuinely nested
+    variants (an alt not reproducible from the independent records) are
+    kept for merging.
+    """
+    indep: List[Tuple[int, str, List[str], object]] = []
+    rest: List[Tuple[int, str, List[str], object]] = []
+    kept_end = -1
+    for t in recs:
+        if t[0] >= kept_end:
+            indep.append(t)
+            kept_end = max(kept_end, t[0] + len(t[1]))
+        else:
+            rest.append(t)
+    out = list(indep)
+    for t in rest:
+        s, ref_t, alts_t, _gt = t
+        e = s + len(ref_t)
+        inner = [r for r in indep if r[0] >= s and r[0] + len(r[1]) <= e]
+        n = 1
+        for r in inner:
+            n *= 1 + len(r[2])
+        if n > MAX_OVERLAP_COMBOS:
+            out.append(t)
+            continue
+        reachable = set()
+        for combo in _enumerate_combos([1 + len(r[2]) for r in inner]):
+            chosen = [
+                (inner[i][0], inner[i][0] + len(inner[i][1]),
+                 inner[i][2][a - 1])
+                for i, a in enumerate(combo)
+                if a != 0
+            ]
+            reachable.add(_splice(seq, s, e, chosen))
+        if not all(a in reachable for a in alts_t):
+            out.append(t)
+    out.sort(key=lambda t: (t[0], t[0] + len(t[1])))
+    return out
+
+
+def _merge_overlap_group(
+    seq: str,
+    group: List[Tuple[int, str, List[str], object]],
+    n_hap: int,
+) -> Optional[Tuple[int, str, List[str], object]]:
+    """Resolve a group of OVERLAPPING trimmed records into one merged site
+    (the reference delegates this to ``vg construct -a``'s nested bubbles,
+    ``constructVG.py:332``; here the nest is flattened into one site whose
+    alleles enumerate the splicable allele combinations — the same
+    path-enumeration approach as the GFA snarl flattener, graph/gfa.py).
+
+    * a combination is *splicable* when its chosen non-ref records have
+      pairwise-disjoint ref spans (same-point insertions concatenate in
+      record order);
+    * haplotypes carrying an unsplicable combination resolve greedily —
+      records ordered by (start, longer span first), a non-ref choice is
+      accepted only if disjoint from already-accepted ones (the outer
+      bubble wins, matching a GBWT thread that walks the enclosing alt);
+    * merged genotypes come out as ``{allele: uint64 bitset words}`` —
+      the HaploIndex row layout.
+
+    Returns ``(start0, merged_ref, merged_alts, merged_gt)`` or None when
+    the group exceeds :data:`MAX_OVERLAP_COMBOS` (caller falls back to
+    keep-first-record).
+    """
+    S = min(s for s, _r, _a, _g in group)
+    E = max(s + len(r) for s, r, _a, _g in group)
+    n_raw = 1
+    for _s, _r, alts, _g in group:
+        n_raw *= 1 + len(alts)
+        if n_raw > MAX_OVERLAP_COMBOS:
+            return None
+    # greedy resolution order: by start, longer ref span first (outer
+    # bubble wins), ties by input order
+    res_order = sorted(
+        range(len(group)),
+        key=lambda i: (group[i][0], -len(group[i][1])),
+    )
+
+    def spans_conflict(si, sj):
+        (s1, e1), (s2, e2) = si, sj
+        if s1 > s2:
+            (s1, e1), (s2, e2) = (s2, e2), (s1, e1)
+        return s2 < e1
+
+    def resolve(combo: Tuple[int, ...]) -> Tuple[int, ...]:
+        accepted: List[Tuple[int, int]] = []
+        out = [0] * len(combo)
+        for i in res_order:
+            if combo[i] == 0:
+                continue
+            s = group[i][0]
+            e = s + len(group[i][1])
+            if any(spans_conflict((s, e), sp) for sp in accepted):
+                continue
+            accepted.append((s, e))
+            out[i] = combo[i]
+        return tuple(out)
+
+    def splice(combo: Tuple[int, ...]) -> str:
+        chosen = [
+            (group[i][0], group[i][0] + len(group[i][1]), group[i][2][a - 1])
+            for i, a in enumerate(combo)
+            if a != 0
+        ]
+        chosen.sort(key=lambda t: (t[0], t[1]))
+        return _splice(seq, S, E, chosen)
+
+    combos = _enumerate_combos([1 + len(alts) for _s, _r, alts, _g in group])
+    # merged alt alleles: one per splicable non-ref combination
+    allele_of: dict = {}
+    merged_alts: List[str] = []
+    for c in combos:
+        if not any(c) or resolve(c) != c:
+            continue
+        allele_of[c] = 1 + len(merged_alts)
+        merged_alts.append(splice(c))
+    if not merged_alts:
+        return None
+    # merged genotypes: AND the per-record choice bitsets per raw combo,
+    # routing unsplicable combos to their greedy resolution
+    merged_gt: Optional[dict] = None
+    if n_hap > 0:
+        per_rec = [_gt_to_bitsets(g, n_hap) for _s, _r, _a, g in group]
+        if any(b is not None for b in per_rec):
+            full = _full_words(n_hap)
+            zeros = np.zeros_like(full)
+            refs = []
+            for b in per_rec:
+                anyalt = zeros.copy()
+                if b:
+                    for row in b.values():
+                        anyalt |= row
+                refs.append(full & ~anyalt)
+            acc_gt: dict = {}
+            for c in combos:
+                if not any(c):
+                    continue
+                bits = full.copy()
+                for i, a in enumerate(c):
+                    if a == 0:
+                        bits &= refs[i]
+                    else:
+                        row = (per_rec[i] or {}).get(a)
+                        bits = bits & row if row is not None else zeros
+                    if not bits.any():
+                        break
+                if not bits.any():
+                    continue
+                tgt = allele_of[resolve(c)]
+                prev = acc_gt.get(tgt)
+                acc_gt[tgt] = bits if prev is None else (prev | bits)
+            merged_gt = acc_gt
+    return S, seq[S:E], merged_alts, merged_gt
+
+
 def _trim_record(rec: VcfRecord) -> Tuple[int, str, List[str]]:
     """Trim the common prefix shared by ref and ALL alts (the VCF anchor
     base); returns (0-based trimmed start, trimmed ref, trimmed alts)."""
@@ -177,13 +415,15 @@ def build_graph(
     records: List[VcfRecord],
     n_hap: Optional[int] = None,
     with_haplotypes: bool = True,
+    prune_composite: bool = False,
 ) -> SiteGraph:
     """Build the site graph for one chromosome from its reference sequence
     and VCF records (replaces ``vg construct -R chrom -C -a`` + ``vg index
     -G .gbwt -v VCF``, reference ``constructVG.py:296-404``)."""
     seq = seq.upper()
-    # normalise + sort + drop overlapping records (the reference delegates
-    # overlap resolution to vg; v1 keeps the first record of an overlap)
+    # normalise + sort; overlapping records merge into one flattened site
+    # below (the reference delegates overlap resolution to vg construct
+    # -a's nested bubbles, constructVG.py:332)
     trimmed = []
     for rec in records:
         if rec.chrom != chrom:
@@ -195,19 +435,53 @@ def build_graph(
             continue  # ref mismatch: skip record
         trimmed.append((start0, ref_t, alts_t, rec.gt))
     trimmed.sort(key=lambda t: (t[0], t[0] + len(t[1])))
+    if n_hap is None:
+        # bitset dicts carry no length — the native path supplies n_hap
+        # explicitly (workflows.buildvg)
+        n_hap = max(
+            (
+                len(g)
+                for (_s, _r, _a, g) in trimmed
+                if g is not None and not isinstance(g, dict)
+            ),
+            default=0,
+        )
+
+    # group records whose trimmed ref spans overlap (chained), merge each
+    # group into one site enumerating the splicable allele combinations
+    def regroup(ts):
+        gs: List[List] = []
+        for t in ts:
+            if gs and t[0] < gs[-1][1]:
+                gs[-1][0].append(t)
+                gs[-1][1] = max(gs[-1][1], t[0] + len(t[1]))
+            else:
+                gs.append([[t], t[0] + len(t[1])])
+        return gs
+
+    groups = regroup(trimmed)
+    if prune_composite and any(len(recs) > 1 for recs, _e in groups):
+        # GFA-synthesised record streams carry composite path records
+        # (one per snarl path) — drop the redundant ones before merging
+        pruned: List = []
+        for recs, _e in groups:
+            pruned.extend(
+                _prune_composite_records(seq, recs)
+                if len(recs) > 1
+                else recs
+            )
+        pruned.sort(key=lambda t: (t[0], t[0] + len(t[1])))
+        groups = regroup(pruned)
 
     sites: List[Site] = []
     site_gts: List[Optional[np.ndarray]] = []
-    last_end = 0
-    for start0, ref_t, alts_t, gt in trimmed:
-        end0 = start0 + len(ref_t)
-        if start0 < last_end:
-            continue  # overlapping record: keep the first (see docstring)
+
+    def add_site(start0, ref_t, alts_t, gt):
         sites.append(
             Site(
                 site_id=len(sites),
                 ref_start=start0,
-                ref_end=end0,
+                ref_end=start0 + len(ref_t),
                 alleles=[ref_t] + alts_t,
                 allele_nodes=[0] * (1 + len(alts_t)),
             )
@@ -217,7 +491,34 @@ def build_graph(
             if gt is None or isinstance(gt, dict)
             else np.asarray(gt, dtype=np.int32)
         )
-        last_end = max(last_end, end0)
+
+    for recs, _group_end in groups:
+        merged = (
+            _merge_overlap_group(seq, recs, n_hap if with_haplotypes else 0)
+            if len(recs) > 1
+            else None
+        )
+        if len(recs) == 1:
+            add_site(*recs[0])
+        elif merged is not None:
+            add_site(*merged)
+        else:
+            # combination cap exceeded: degrade to the old greedy
+            # keep-non-overlapping behaviour, with a warning
+            import sys
+
+            sys.stderr.write(
+                f"\033[33mWARNING: {len(recs)} overlapping VCF records "
+                f"near {chrom}:{recs[0][0] + 1} exceed "
+                f"{MAX_OVERLAP_COMBOS} combinations; keeping a "
+                f"non-overlapping subset\033[0m\n"
+            )
+            kept_end = -1
+            for start0, ref_t, alts_t, gt in recs:
+                if start0 < kept_end:
+                    continue
+                add_site(start0, ref_t, alts_t, gt)
+                kept_end = max(kept_end, start0 + len(ref_t))
 
     # assign nodes in genomic order: ref segment, then per site alt nodes
     # (VCF order) followed by the ref-allele node
@@ -260,20 +561,8 @@ def build_graph(
         elements.append(("seg", nid))
 
     haplo = None
-    if with_haplotypes:
-        if n_hap is None:
-            # bitset dicts carry no length — the native path supplies
-            # n_hap explicitly (workflows.buildvg)
-            n_hap = max(
-                (
-                    len(g)
-                    for g in site_gts
-                    if g is not None and not isinstance(g, dict)
-                ),
-                default=0,
-            )
-        if n_hap:
-            haplo = HaploIndex.from_genotypes(n_hap, site_gts)
+    if with_haplotypes and n_hap:
+        haplo = HaploIndex.from_genotypes(n_hap, site_gts)
 
     return SiteGraph(
         chrom=chrom,
