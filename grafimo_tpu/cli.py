@@ -154,6 +154,19 @@ def get_parser() -> argparse.ArgumentParser:
         help="persist/reuse extracted scan batches (checkpoint/resume for "
              "large scans)",
     )
+    find.add_argument(
+        "--coordinator", type=str, default="", dest="coordinator",
+        help="multi-host: jax.distributed coordinator address host:port "
+             '(or "auto" to autodetect in managed TPU environments)',
+    )
+    find.add_argument(
+        "--num-processes", type=int, default=0, dest="num_processes",
+        help="multi-host: total number of processes in the pod slice",
+    )
+    find.add_argument(
+        "--process-id", type=int, default=-1, dest="process_id",
+        help="multi-host: this process's index (0-based)",
+    )
     return parser
 
 
@@ -210,6 +223,9 @@ def args_to_workflow(args: argparse.Namespace):
         engine=args.engine,
         profile_dir=args.profile_dir,
         cache_dir=args.cache_dir,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
     )
 
 

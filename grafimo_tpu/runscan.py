@@ -843,12 +843,25 @@ def compute_results_runs(
     )
     # deterministic report order regardless of extraction threading
     res.hits.sort()
+    # multi-host: the integer score histogram is the ONLY cross-host data
+    # the exact statistics need — one collective sum makes BH q-values
+    # exactly global on every host (SURVEY.md §5.8); hit rows stay local
+    # and merge at report assembly below
+    import jax
+
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        from grafimo_tpu.parallel.cluster import allreduce_hist
+
+        res.hists = allreduce_hist(res.hists)
+        res.n_windows_per_col = res.hists.sum(axis=0)
     # scanned-work counters, reference format (score_sequences.py:202-203,
     # counting one row per strand like the reference's TSV rows); one line
     # per width bucket — every motif in the bucket scans the same windows
     n_seqs = int(_motif_hist(res.hists, col_meta, 0).sum())
-    print(f"Scanned sequences:\t{n_seqs}")
-    print(f"Scanned nucleotides:\t{n_seqs * k}")
+    if n_proc == 1 or jax.process_index() == 0:
+        print(f"Scanned sequences:\t{n_seqs}")
+        print(f"Scanned nucleotides:\t{n_seqs * k}")
     if verbose:
         n_win = int(res.n_windows_per_col.max(initial=0))
         print(
@@ -869,6 +882,10 @@ def compute_results_runs(
         {
             "seqnames": [], "starts": [], "stops": [], "strands": [],
             "scores": [], "seqs": [], "freqs": [], "refs": [],
+            # global hit key (source, offset, col): multi-host merge
+            # reorders gathered rows by it to reproduce the exact
+            # single-process row order
+            "keys": [],
         }
         for _ in motifs
     ]
@@ -893,9 +910,10 @@ def compute_results_runs(
             )
             for j, i in enumerate(sel.tolist()):
                 seqs_out[i] = sb[j].tobytes().decode("ascii")
-        for i, (_g_off, col) in enumerate(lst):
+        for i, (g_off, col) in enumerate(lst):
             cmi, strand = col_meta[col]
             rows = per_motif[cmi]
+            rows["keys"].append((source, g_off, col))
             if strand == "+":
                 start, stop = int(begins[i]), int(ends[i])
             else:
@@ -908,6 +926,25 @@ def compute_results_runs(
             rows["seqs"].append(seqs_out[i])
             rows["freqs"].append(int(freqs[i]))
             rows["refs"].append("ref" if is_ref[i] else "non.ref")
+
+    if n_proc > 1:
+        # gather every host's rows and restore the global sorted-hit
+        # order, so the merged report is bit-identical to a
+        # single-process run (round-robin region shards interleave)
+        from grafimo_tpu.parallel.cluster import allgather_object
+
+        gathered = allgather_object(per_motif)
+        merged = []
+        for mi in range(len(motifs)):
+            cols = {c: [] for c in per_motif[mi]}
+            for part in gathered:
+                for c, vals in part[mi].items():
+                    cols[c].extend(vals)
+            order = sorted(range(len(cols["keys"])), key=cols["keys"].__getitem__)
+            merged.append(
+                {c: [vals[i] for i in order] for c, vals in cols.items()}
+            )
+        per_motif = merged
 
     out: Dict[str, pd.DataFrame] = {}
     for mi, motif in enumerate(motifs):

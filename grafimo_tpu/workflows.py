@@ -203,8 +203,13 @@ def _scan_cache_path(workflow: Findmotif, regions, width: int) -> str:
     graph paths + mtimes so edited graphs invalidate the cache."""
     import hashlib
 
+    import jax
+
     h = hashlib.sha256()
     h.update(b"scan-cache-v1")
+    if jax.process_count() > 1:
+        # per-host region shards differ: key the checkpoint per process
+        h.update(f"proc{jax.process_index()}/{jax.process_count()}".encode())
     sources = []
     if workflow.has_graphgenome():
         sources.append(workflow.graph_genome)
@@ -232,8 +237,31 @@ def findmotif(workflow: Findmotif) -> List[str]:
     (reference ``findmotif``, ``grafimo.py:80-192``); returns the written
     report directories (empty for ``--text-only``)."""
     workflow.validate()
-    print_welcome()
-    check_deps()
+    # multi-host pod slice: initialise jax.distributed BEFORE any backend
+    # touch (the mesh must span all hosts' devices); single-host runs
+    # skip this entirely (SURVEY.md §2.18/§5.8)
+    n_proc, proc_id = 1, 0
+    if workflow.coordinator or workflow.num_processes:
+        from grafimo_tpu.parallel.cluster import initialize_cluster
+
+        initialize_cluster(
+            coordinator_address=(
+                None
+                if workflow.coordinator in ("", "auto")
+                else workflow.coordinator
+            ),
+            num_processes=workflow.num_processes or None,
+            process_id=(
+                workflow.process_id if workflow.process_id >= 0 else None
+            ),
+        )
+        import jax
+
+        n_proc = jax.process_count()
+        proc_id = jax.process_index()
+    if proc_id == 0:
+        print_welcome()
+        check_deps()
     # start TPU init + first-transfer warmup concurrently with host-side
     # parsing/extraction (see ops/device.py)
     from grafimo_tpu.ops.device import start_device_warmup
@@ -251,8 +279,29 @@ def findmotif(workflow: Findmotif) -> List[str]:
     print(f"Read {len(motif_set)} motif(s); widths: {sorted(motif_set.widths)}")
     # regions + graphs
     regions, region_num = read_bed_regions(workflow.bedfile)
-    print(f"Found {region_num} regions in {workflow.bedfile}")
+    if proc_id == 0:
+        print(f"Found {region_num} regions in {workflow.bedfile}")
     graphs = _load_graphs(workflow, list(regions.keys()))
+    if n_proc > 1:
+        # deterministic round-robin region shard per host — every host
+        # scans its own regions; histograms merge inside the scan
+        # (runscan.compute_results_runs) and host 0 writes the report
+        from grafimo_tpu.parallel.cluster import shard_regions
+
+        flat = [
+            (chrom, s, e)
+            for chrom in regions
+            for (s, e) in regions[chrom]
+        ]
+        mine = shard_regions(flat, proc_id, n_proc)
+        regions = {}
+        for chrom, s, e in mine:
+            regions.setdefault(chrom, []).append((s, e))
+        if workflow.verbose:
+            print(
+                f"process {proc_id}/{n_proc}: scanning "
+                f"{len(mine)}/{len(flat)} regions"
+            )
     # optional structured profiling of the scan phase (the reference only
     # had wall-clock timers, SURVEY.md §5.1; this emits a full jax
     # profiler trace viewable in tensorboard/xprof)
@@ -279,7 +328,9 @@ def findmotif(workflow: Findmotif) -> List[str]:
             region_runs_list = []
             for chrom, (display, graph) in graphs.items():
                 region_runs_list.extend(
-                    build_region_runs(graph, display, regions[chrom], width)
+                    build_region_runs(
+                        graph, display, regions.get(chrom, []), width
+                    )
                 )
             cache_path = None
             if workflow.cache_dir:
@@ -320,7 +371,7 @@ def findmotif(workflow: Findmotif) -> List[str]:
             batches = []
             t0 = time.time()
             for chrom, (display, graph) in graphs.items():
-                for start, stop in regions[chrom]:
+                for start, stop in regions.get(chrom, []):
                     batch = extract_region(
                         graph, start, stop, width, chrom_display=display,
                         both_strands=True,
@@ -351,7 +402,10 @@ def findmotif(workflow: Findmotif) -> List[str]:
     if profile_ctx is not None:
         profile_ctx.close()
         print(f"profiler trace written to {workflow.profile_dir}")
-    # write / print reports per motif
+    # write / print reports per motif; in a multi-host run every host
+    # holds the identical merged results — host 0 writes
+    if n_proc > 1 and proc_id != 0:
+        return []
     outdirs = []
     chrom_graphs = {d: g for (d, g) in graphs.values()}
     for motif in motif_set:
