@@ -335,6 +335,53 @@ def scan_runs_resident_topk(
     )
 
 
+def _apply_patches(codes: jnp.ndarray, patches: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-row substitution patches to expanded genome rows.
+
+    ``patches (B, P) int16``: ``pos * 4 + base`` per entry, ``-1`` = empty
+    slot.  Pure elementwise selects (one ``(B, r)`` compare per patch
+    slot) — no scatter, the thing to engineer around on TPU.
+    """
+    r = codes.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    p32 = patches.astype(jnp.int32)
+    for p in range(patches.shape[1]):
+        ent = p32[:, p : p + 1]  # (B, 1)
+        pos = ent >> 2
+        base = (ent & 3).astype(codes.dtype)
+        codes = jnp.where((iota == pos) & (ent >= 0), base, codes)
+    return codes
+
+
+@partial(
+    jax.jit,
+    static_argnames=("r", "k", "hist_size", "topk"),
+    donate_argnums=(0,),
+)
+def scan_runs_resident_patched_topk(
+    hist_acc, genome4, ngenome, gstart, patches, vbits, pwm_kernel,
+    min_scores, cutoffs, r: int, k: int, hist_size: int, topk: int,
+):
+    """Resident scan of CLUSTER combination runs that differ from the
+    reference genome only by substitutions: each row crosses the link as
+    a 4-byte genome offset plus ``P`` 2-byte patch descriptors instead of
+    ``r/4`` sequence bytes (roadmap: device-resident cluster runs —
+    combination runs share the genome backbone, only their substituted
+    bases ride the wire)."""
+    codes = _apply_patches(_expand_resident(genome4, gstart, r), patches)
+    n_ind = (
+        _expand_resident_bits(ngenome, gstart, r)
+        if ngenome is not None
+        else None
+    )
+    hist, hitbits = _score_codes(
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+    )
+    return _topk_package(
+        hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
+    )
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def absorb_slice(nh_acc, top_acc, n_hits, top_vals, i):
     """Record one scan slice's results into the donated per-block

@@ -25,6 +25,8 @@ import pandas as pd
 from grafimo_tpu.graph.runs import (
     Run,
     build_single_run,
+    cluster_sites,
+    nth_combination,
     reconstruct_hits_batch,
     region_runs,
 )
@@ -43,6 +45,11 @@ from grafimo_tpu.report.results import apply_report_filters, build_results_df
 from grafimo_tpu.utils.constants import RANGE
 
 BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+# device-resident cluster runs: patch slots per row and the minimum
+# bucket where the descriptor (4B gstart + 2B/slot) beats packed bytes
+# (R/4 sequence + R/8 N plane)
+PATCH_SLOTS = 16
+MIN_PATCH_R = 128
 # on-device hit compaction capacity per scan slice; > SCAN_TOPK hits in
 # one slice falls back to fetching its full bitmask
 SCAN_TOPK = 1 << 13
@@ -93,6 +100,10 @@ class DeviceBatch:
     # each row is a 4-byte genome offset instead of R/4 sequence bytes
     gstart: Optional[np.ndarray] = None  # int32 (B,) genome base offsets
     graph: Optional[SiteGraph] = None
+    # device-resident CLUSTER batches: substitution-only combination runs
+    # expand from the genome at gstart and apply per-row patches
+    # (pos*4+base int16, -1 = empty) on device
+    patches: Optional[np.ndarray] = None  # int16 (B, PATCH_SLOTS)
 
 
 def _resident_genome(graph: SiteGraph):
@@ -285,6 +296,7 @@ def batch_runs(
     row payloads.
     """
     batches: List[DeviceBatch] = []
+    by_key = {rr.key: rr for rr in region_runs_list}
     python_rrs = [rr for rr in region_runs_list if rr.payloads is not None]
     native_rrs = [rr for rr in region_runs_list if rr.payloads is None]
     if native_rrs:
@@ -429,7 +441,126 @@ def batch_runs(
                 graph=res_graphs[gid],
             )
         )
+    if resident:
+        batches = _convert_patchable(batches, by_key, k)
     return batches
+
+
+def _patch_info(rr: RegionRuns, ref: Tuple[int, int], k: int):
+    """Patch representation of one cluster combination run, or None when
+    it is not substitution-only (indels, lowercase/ambiguous alt bases, or
+    patches over genome N).  Returns ``(flank_l, [(genome coord, base
+    code)])`` — the run is then ``genome[flank_l:...]`` with those bases
+    substituted (memoised per run ref)."""
+    c_idx, _x_idx = ref
+    if c_idx < 0:
+        return None  # backbone / fallback windows
+    memo = getattr(rr, "_patch_cache", None)
+    if memo is None:
+        memo = rr._patch_cache = {}
+    if ref in memo:
+        return memo[ref]
+    clusters = cluster_sites(rr.graph, rr.start, rr.stop, k)
+    cluster = clusters[c_idx]
+    combo = nth_combination(cluster, ref[1])
+    info = None
+    patches = []
+    ok = True
+    for site, a in zip(cluster, combo):
+        allele = site.alleles[a]
+        if len(allele) != site.ref_end - site.ref_start:
+            ok = False
+            break
+        if a == 0:
+            continue
+        for o, ch in enumerate(allele):
+            refc = rr.graph.seq[site.ref_start + o]
+            if ch == refc:
+                continue
+            code = "ACGT".find(ch)
+            if code < 0 or refc not in "ACGT":
+                ok = False
+                break
+            patches.append((site.ref_start + o, code))
+        if not ok:
+            break
+    if ok:
+        flank_l = max(0, cluster[0].ref_start - (k - 1))
+        info = (flank_l, patches)
+    memo[ref] = info
+    return info
+
+
+def _convert_patchable(
+    batches: List[DeviceBatch], by_key: Dict[str, RegionRuns], k: int
+) -> List[DeviceBatch]:
+    """Split substitution-only cluster rows out of packed batches into
+    device-resident patched batches (4B offset + 2B/patch on the wire
+    instead of R/4 packed sequence bytes).  Rows keep their chunk
+    bookkeeping; scores are bit-identical by construction (positions past
+    the chunk read genome instead of zero padding, but no valid window
+    reaches them)."""
+    out: List[DeviceBatch] = []
+    for b in batches:
+        if b.packed is None or b.R < MIN_PATCH_R:
+            out.append(b)
+            continue
+        conv: Dict[int, list] = {}  # graph id -> [row indices]
+        conv_data: Dict[int, list] = {}  # graph id -> [(gstart, patches)]
+        graphs: Dict[int, SiteGraph] = {}
+        for i, chunk in enumerate(b.chunks):
+            rr = by_key.get(chunk.source[0])
+            if rr is None:
+                continue
+            info = _patch_info(rr, chunk.source[1], k)
+            if info is None:
+                continue
+            flank_l, coord_patches = info
+            g0 = flank_l + chunk.chunk_off
+            row = [
+                (c - g0) * 4 + code
+                for c, code in coord_patches
+                if g0 <= c < g0 + b.R
+            ]
+            if len(row) > PATCH_SLOTS:
+                continue
+            gid = id(rr.graph)
+            graphs[gid] = rr.graph
+            conv.setdefault(gid, []).append(i)
+            conv_data.setdefault(gid, []).append((g0, row))
+        if not conv:
+            out.append(b)
+            continue
+        moved = set()
+        for gid, idxs in conv.items():
+            moved.update(idxs)
+            pat = np.full((len(idxs), PATCH_SLOTS), -1, dtype=np.int16)
+            for j, (_g0, row) in enumerate(conv_data[gid]):
+                pat[j, : len(row)] = row
+            out.append(
+                DeviceBatch(
+                    R=b.R, packed=None, nbits=None,
+                    vbits=b.vbits[idxs],
+                    chunks=[b.chunks[i] for i in idxs],
+                    gstart=np.array(
+                        [g for g, _ in conv_data[gid]], dtype=np.int32
+                    ),
+                    graph=graphs[gid],
+                    patches=pat,
+                )
+            )
+        rest = [i for i in range(len(b.chunks)) if i not in moved]
+        if rest:
+            out.append(
+                DeviceBatch(
+                    R=b.R,
+                    packed=b.packed[rest],
+                    nbits=b.nbits[rest],
+                    vbits=b.vbits[rest],
+                    chunks=[b.chunks[i] for i in rest],
+                )
+            )
+    return out
 
 
 @dataclass
@@ -457,6 +588,7 @@ def scan_batches(
         absorb_slice,
         package_block,
         scan_runs_device_topk,
+        scan_runs_resident_patched_topk,
         scan_runs_resident_topk,
     )
 
@@ -654,13 +786,32 @@ def scan_batches(
                 gs = batch.gstart[lo:hi]
                 if pad:
                     gs = np.concatenate([gs, np.zeros(pad, gs.dtype)])
-                hist_acc, hitbits, n_hits, top_idx = (
-                    scan_runs_resident_topk(
-                        hist_acc, g4, gn, _rows(gs), vb,
-                        pwm_dev, mins_dev, cuts_dev, batch.R, k,
-                        hist_size, TOPK,
+                if batch.patches is not None:
+                    pt = batch.patches[lo:hi]
+                    if pad:
+                        pt = np.concatenate(
+                            [
+                                pt,
+                                np.full(
+                                    (pad, pt.shape[1]), -1, dtype=pt.dtype
+                                ),
+                            ]
+                        )
+                    hist_acc, hitbits, n_hits, top_idx = (
+                        scan_runs_resident_patched_topk(
+                            hist_acc, g4, gn, _rows(gs), _rows(pt), vb,
+                            pwm_dev, mins_dev, cuts_dev, batch.R, k,
+                            hist_size, TOPK,
+                        )
                     )
-                )
+                else:
+                    hist_acc, hitbits, n_hits, top_idx = (
+                        scan_runs_resident_topk(
+                            hist_acc, g4, gn, _rows(gs), vb,
+                            pwm_dev, mins_dev, cuts_dev, batch.R, k,
+                            hist_size, TOPK,
+                        )
+                    )
             else:
                 nb = batch.nbits[lo:hi]
                 nb = None if not nb.any() else nb
