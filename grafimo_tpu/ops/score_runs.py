@@ -137,12 +137,11 @@ def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
     n_hi = (hist_size + 255) // 256 + 1  # + spill row for invalid
     spill = (n_hi - 1) * 256
     seg_len = 1 << 23
-    cols = []
-    for col in range(m):
-        v = scores[:, :, col].reshape(-1)
+    n = b * noff
+
+    def one_col(v):
         v = jnp.where(v >= 0, v, jnp.int32(spill))
         total = jnp.zeros((n_hi, 256), jnp.int32)
-        n = v.shape[0]
         for s0 in range(0, n, seg_len):
             seg = jax.lax.slice(v, (s0,), (min(s0 + seg_len, n),))
             hi = seg // 256
@@ -158,8 +157,16 @@ def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
                 preferred_element_type=jnp.float32,
             )
             total = total + c.astype(jnp.int32)
-        cols.append(total.reshape(-1)[:hist_size])
-    return jnp.stack(cols, axis=1)  # (hist_size, m)
+        return total.reshape(-1)[:hist_size]
+
+    if m <= 8:
+        # unrolled: XLA overlaps the independent per-column matmuls
+        cols = [one_col(scores[:, :, col].reshape(-1)) for col in range(m)]
+        return jnp.stack(cols, axis=1)  # (hist_size, m)
+    # JASPAR-scale column counts: one compiled body via lax.map keeps
+    # trace/compile time O(1) in m instead of O(m) unrolled graphs
+    v_all = jnp.moveaxis(scores.reshape(n, m), 0, 1)  # (m, n)
+    return jnp.moveaxis(jax.lax.map(one_col, v_all), 0, 1)
 
 
 def _scan_core(
