@@ -751,13 +751,27 @@ def scan_batches(
         if batch.gstart is not None:
             gkey = id(batch.graph)
             if gkey not in genome_dev:
-                c4, npl = _resident_genome(batch.graph)
-                genome_dev[gkey] = (
-                    _rep(c4) if mesh is not None else jax.device_put(c4),
-                    (_rep(npl) if mesh is not None else jax.device_put(npl))
-                    if npl is not None
-                    else None,
-                )
+                # cached ACROSS scan_batches calls (per-width passes and
+                # the qvalueT path reuse the same chromosome): the genome
+                # crosses the link once per process, not once per pass
+                cache_key = (tuple(devs), mesh is not None)
+                cached = getattr(batch.graph, "_genome_dev_cache", None)
+                if cached is not None and cached[0] == cache_key:
+                    genome_dev[gkey] = cached[1]
+                else:
+                    c4, npl = _resident_genome(batch.graph)
+                    put = (
+                        _rep(c4) if mesh is not None else jax.device_put(c4),
+                        (
+                            _rep(npl)
+                            if mesh is not None
+                            else jax.device_put(npl)
+                        )
+                        if npl is not None
+                        else None,
+                    )
+                    genome_dev[gkey] = put
+                    batch.graph._genome_dev_cache = (cache_key, put)
         n_rows = (
             batch.gstart.shape[0]
             if batch.gstart is not None
