@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: exact integer score histogram.
+
+The histogram is the production scan's dominant compute: per
+window-strand-motif element, the exact joint (hi, lo) count costs
+~2*hist_size MXU flops (vs ~16*k for the scoring conv itself — 128x less
+at k=19).  The XLA formulation (``ops/score_runs._exact_hist``) builds
+the two one-hot operands ``(n, n_hi)`` / ``(n, 256)`` in bf16 **in HBM**
+(XLA:TPU does not fuse elementwise producers into dot operands), so every
+element drags ~2*(n_hi+256) bytes through HBM — memory-bound well below
+the MXU's speed of light.
+
+This kernel streams score tiles into VMEM, builds the one-hot tiles
+*in VMEM*, runs the two-plane contraction on the MXU and accumulates the
+``(n_hi, 256)`` int32 counts across sequential grid steps — HBM traffic
+drops to 4 bytes/element (the scores) and the kernel runs at the MXU
+bound.
+
+Exactness: per-tile counts are <= TILE_N (far below 2^24), so the f32/
+int32 matmul accumulators are integer-exact; cross-tile accumulation is
+int32.  This preserves the repo invariant that exact global BH q-values
+derive from additive integer histograms.
+
+Layout note: both one-hot widths are padded by the hardware to lane
+multiples of 128, so the executed cost per element is 2*128*256 flops
+for any ``hist_size`` in (16384, 32768] (k = 17..32) regardless of the
+logical ``n_hi`` — the same padding physics applies to the XLA path.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 8192  # contraction tile: 8192*4B scores + ~6MB one-hots in VMEM
+
+_LO = 256  # lo-plane width (score % 256); hi plane is ceil(hist/256)+spill
+
+
+def _hist_kernel(scores_ref, out_ref, *, spill: int, n_hi: int, op_dtype):
+    j = pl.program_id(1)
+    s = scores_ref[0, :]  # (TILE_N,) int32
+    # invalid windows (score -1, incl. padding) route to the spill bin
+    s = jnp.where(s < 0, jnp.int32(spill), s)
+    hi = s // _LO
+    lo = s - hi * _LO
+    oh_hi = (
+        hi[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (TILE_N, n_hi), 1)
+    ).astype(op_dtype)
+    oh_lo = (
+        lo[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (TILE_N, _LO), 1)
+    ).astype(op_dtype)
+    acc_t = jnp.int32 if op_dtype == jnp.int8 else jnp.float32
+    counts = jax.lax.dot_general(
+        oh_hi,
+        oh_lo,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t,
+    ).astype(jnp.int32)  # (n_hi, 256); per-tile counts <= TILE_N, exact
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += counts
+
+
+@partial(
+    jax.jit, static_argnames=("hist_size", "interpret", "use_int8")
+)
+def hist_pallas(
+    scores: jnp.ndarray,
+    hist_size: int,
+    interpret: bool = False,
+    use_int8: bool = False,
+) -> jnp.ndarray:
+    """Exact integer histogram of ``scores (B, Noff, M) int32`` (negative
+    = invalid, dropped).  Returns ``(hist_size, M) int32`` — same contract
+    as ``score_runs._exact_hist``.
+
+    ``use_int8`` runs the one-hot contraction on the int8 MXU path (2x
+    peak on v5e+); both variants are integer-exact.
+    """
+    b, noff, m = scores.shape
+    n = b * noff
+    n_hi = (hist_size + _LO - 1) // _LO + 1  # + spill row for invalid
+    spill = (n_hi - 1) * _LO
+    cols = jnp.moveaxis(scores.reshape(n, m), 0, 1)  # (M, N)
+    pad = (-n) % TILE_N
+    if pad:
+        cols = jnp.pad(cols, ((0, 0), (0, pad)), constant_values=-1)
+    n_tiles = cols.shape[1] // TILE_N
+    out = pl.pallas_call(
+        partial(
+            _hist_kernel,
+            spill=spill,
+            n_hi=n_hi,
+            op_dtype=jnp.int8 if use_int8 else jnp.bfloat16,
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n_hi, _LO), jnp.int32),
+        grid=(m, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TILE_N), lambda mi, j: (mi, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_hi, _LO), lambda mi, j: (mi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(cols)
+    # (M, n_hi*256) -> keep the real bins, spill (>= hist_size) dropped
+    return jnp.moveaxis(out.reshape(m, n_hi * _LO)[:, :hist_size], 0, 1)
+
+
+def hist_pallas_reference(scores: np.ndarray, hist_size: int) -> np.ndarray:
+    """Host oracle: per-column ``np.bincount`` over the valid scores."""
+    b, noff, m = scores.shape
+    flat = scores.reshape(-1, m)
+    out = np.zeros((hist_size, m), dtype=np.int32)
+    for col in range(m):
+        v = flat[:, col]
+        v = v[v >= 0]
+        out[:, col] = np.bincount(v, minlength=hist_size)[:hist_size]
+    return out

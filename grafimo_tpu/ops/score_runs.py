@@ -122,6 +122,33 @@ def _expand_resident_bits(genome1: jnp.ndarray, gstart: jnp.ndarray, r: int):
     return _shift_select(bits, shift, r, 8).astype(jnp.int32)
 
 
+def _pallas_hist_mode() -> str:
+    """``'off' | 'bf16' | 'int8'`` — resolved at TRACE time.
+
+    Default (``auto``): the Pallas histogram kernel runs on a single real
+    TPU device — it keeps the one-hot tiles in VMEM instead of
+    materialising them in HBM like the XLA dot (the histogram is ~99% of
+    the scan's flops, see ops/pallas_hist.py).  Multi-device auto-sharded
+    scans keep the XLA path (a Mosaic kernel is not GSPMD-partitionable),
+    as do CPU runs.  Override with ``GRAFIMO_PALLAS_HIST=off|bf16|int8``
+    (read when the enclosing jit traces, i.e. set it before the scan).
+    """
+    import os
+
+    v = os.environ.get("GRAFIMO_PALLAS_HIST", "auto").lower()
+    if v in ("0", "off", "false"):
+        return "off"
+    if v in ("1", "on", "true", "bf16"):
+        return "bf16"
+    if v == "int8":
+        return "int8"
+    import jax
+
+    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        return "bf16"
+    return "off"
+
+
 def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
     """Exact integer score histogram as MXU matmuls instead of a
     scatter-add (4-8x faster on TPU for this shape).
@@ -132,7 +159,15 @@ def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
     accumulators remain integer-exact (< 2^24); per-segment counts are
     then summed in int32.  Invalid windows (score -1) route to a spill
     row past ``hist_size`` and are dropped.
+
+    On a single TPU device the contraction runs as a Pallas kernel that
+    builds the one-hot operands in VMEM (:func:`_pallas_hist_mode`).
     """
+    mode = _pallas_hist_mode()
+    if mode != "off":
+        from grafimo_tpu.ops.pallas_hist import hist_pallas
+
+        return hist_pallas(scores, hist_size, use_int8=mode == "int8")
     b, noff, m = scores.shape
     n_hi = (hist_size + 255) // 256 + 1  # + spill row for invalid
     spill = (n_hi - 1) * 256

@@ -1,0 +1,50 @@
+"""Pallas exact-histogram kernel: differential vs bincount and vs the XLA
+``_exact_hist`` path (interpret mode — CI has no TPU)."""
+
+import numpy as np
+import pytest
+
+from grafimo_tpu.ops.pallas_hist import (
+    TILE_N,
+    hist_pallas,
+    hist_pallas_reference,
+)
+
+
+@pytest.mark.parametrize("use_int8", [False, True])
+def test_hist_pallas_matches_bincount(use_int8):
+    rng = np.random.default_rng(3)
+    hist_size = 19 * 1000 + 1
+    # scores spread over the full range, some invalid (-1), 2 columns
+    scores = rng.integers(-1, hist_size, (37, 113, 2)).astype(np.int32)
+    got = np.asarray(
+        hist_pallas(scores, hist_size, interpret=True, use_int8=use_int8)
+    )
+    want = hist_pallas_reference(scores, hist_size)
+    assert got.shape == (hist_size, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hist_pallas_matches_xla_path():
+    import jax.numpy as jnp
+
+    from grafimo_tpu.ops.score_runs import _exact_hist
+
+    rng = np.random.default_rng(5)
+    hist_size = 801
+    scores = rng.integers(-1, hist_size, (64, 30, 3)).astype(np.int32)
+    got = np.asarray(hist_pallas(scores, hist_size, interpret=True))
+    want = np.asarray(_exact_hist(jnp.asarray(scores), hist_size))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hist_pallas_exact_multitile():
+    """Counts accumulate exactly across >1 grid tiles and padding rows."""
+    rng = np.random.default_rng(7)
+    hist_size = 501
+    n = TILE_N * 2 + 77  # forces padding and 3 tiles
+    scores = rng.integers(-1, hist_size, (1, n, 1)).astype(np.int32)
+    got = np.asarray(hist_pallas(scores, hist_size, interpret=True))
+    want = hist_pallas_reference(scores, hist_size)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() == (scores >= 0).sum()
