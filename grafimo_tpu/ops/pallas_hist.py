@@ -34,39 +34,50 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 8192  # contraction tile: 8192*4B scores + ~6MB one-hots in VMEM
+MAX_M = 16  # above this, callers keep the O(1)-compile XLA lax.map path
 
 _LO = 256  # lo-plane width (score % 256); hi plane is ceil(hist/256)+spill
 
 
-def _hist_kernel(scores_ref, out_ref, *, spill: int, n_hi: int, op_dtype):
-    j = pl.program_id(1)
-    s = scores_ref[0, :]  # (TILE_N,) int32
-    # invalid windows (score -1, incl. padding) route to the spill bin
-    s = jnp.where(s < 0, jnp.int32(spill), s)
-    hi = s // _LO
-    lo = s - hi * _LO
-    oh_hi = (
-        hi[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (TILE_N, n_hi), 1)
-    ).astype(op_dtype)
-    oh_lo = (
-        lo[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (TILE_N, _LO), 1)
-    ).astype(op_dtype)
-    acc_t = jnp.int32 if op_dtype == jnp.int8 else jnp.float32
-    counts = jax.lax.dot_general(
-        oh_hi,
-        oh_lo,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=acc_t,
-    ).astype(jnp.int32)  # (n_hi, 256); per-tile counts <= TILE_N, exact
+def _tile_n(m: int) -> int:
+    """Contraction tile length: bound the block + per-column one-hot VMEM
+    (scores block m*T*4B; one-hots ~T*(n_hi+256)*2B, reused across the
+    column loop)."""
+    return 8192 if m <= 4 else 2048
+
+
+def _hist_kernel(
+    scores_ref, out_ref, *, spill: int, n_hi: int, m: int, tile: int,
+    op_dtype,
+):
+    j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _init():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[0] += counts
+    acc_t = jnp.int32 if op_dtype == jnp.int8 else jnp.float32
+    for mi in range(m):  # static unroll; m <= MAX_M
+        s = scores_ref[mi, :]  # (tile,) int32
+        # invalid windows (score -1, incl. padding) go to the spill bin
+        s = jnp.where(s < 0, jnp.int32(spill), s)
+        hi = s // _LO
+        lo = s - hi * _LO
+        oh_hi = (
+            hi[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (tile, n_hi), 1)
+        ).astype(op_dtype)
+        oh_lo = (
+            lo[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (tile, _LO), 1)
+        ).astype(op_dtype)
+        counts = jax.lax.dot_general(
+            oh_hi,
+            oh_lo,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=acc_t,
+        ).astype(jnp.int32)  # (n_hi, 256); per-tile counts <= tile, exact
+        out_ref[mi] += counts
 
 
 @partial(
@@ -86,31 +97,37 @@ def hist_pallas(
     peak on v5e+); both variants are integer-exact.
     """
     b, noff, m = scores.shape
+    assert m <= MAX_M, "JASPAR-scale column counts keep the XLA path"
     n = b * noff
     n_hi = (hist_size + _LO - 1) // _LO + 1  # + spill row for invalid
     spill = (n_hi - 1) * _LO
+    tile = _tile_n(m)
     cols = jnp.moveaxis(scores.reshape(n, m), 0, 1)  # (M, N)
-    pad = (-n) % TILE_N
+    pad = (-n) % tile
     if pad:
         cols = jnp.pad(cols, ((0, 0), (0, pad)), constant_values=-1)
-    n_tiles = cols.shape[1] // TILE_N
+    n_tiles = cols.shape[1] // tile
+    # block = (m, tile): the sublane dim equals the full array dim (the
+    # Mosaic block constraint for m not divisible by 8); the kernel loops
+    # the m rows and accumulates across the sequential tile grid
     out = pl.pallas_call(
         partial(
             _hist_kernel,
             spill=spill,
             n_hi=n_hi,
+            m=m,
+            tile=tile,
             op_dtype=jnp.int8 if use_int8 else jnp.bfloat16,
         ),
         out_shape=jax.ShapeDtypeStruct((m, n_hi, _LO), jnp.int32),
-        grid=(m, n_tiles),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (1, TILE_N), lambda mi, j: (mi, j),
-                memory_space=pltpu.VMEM,
+                (m, tile), lambda j: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_hi, _LO), lambda mi, j: (mi, 0, 0),
+            (m, n_hi, _LO), lambda j: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,

@@ -144,7 +144,11 @@ def _pallas_hist_mode() -> str:
         return "int8"
     import jax
 
-    if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+    # one LOCAL device: multi-host scans run plain per-process jits (one
+    # chip each) where Mosaic works; only the multi-LOCAL-device GSPMD
+    # auto-shard path (scan_batches' mesh) must keep the partitionable
+    # XLA formulation
+    if jax.default_backend() == "tpu" and len(jax.local_devices()) == 1:
         return "bf16"
     return "off"
 
@@ -164,7 +168,7 @@ def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
     builds the one-hot operands in VMEM (:func:`_pallas_hist_mode`).
     """
     mode = _pallas_hist_mode()
-    if mode != "off":
+    if mode != "off" and scores.shape[-1] <= 16:  # pallas_hist.MAX_M
         from grafimo_tpu.ops.pallas_hist import hist_pallas
 
         return hist_pallas(scores, hist_size, use_int8=mode == "int8")
@@ -220,23 +224,52 @@ def _scan_core(
     )
 
 
-def _score_codes(
-    codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k: int,
-    hist_size: int,
-):
-    b = codes.shape[0]
-    r = codes.shape[1]
+# at or below this motif-column count the window contraction runs as the
+# VPU select/LUT formulation; above it, the MXU conv (see _window_scores)
+SELECT_CONV_MAX_M = 16
+
+
+def _window_scores(codes, pwm_kernel, k: int) -> jnp.ndarray:
+    """Integer scores of every stride-1 window: ``(B, R) codes`` x
+    ``(k, 4, M) pwm -> (B, Noff, M) int32``, exact.
+
+    Two formulations, picked by M (static):
+
+    * **select/LUT (M <= SELECT_CONV_MAX_M)** — ``sum_j select_n(
+      codes[:, j:j+Noff], K[j,0,:], .., K[j,3,:])``: k shifted
+      elementwise 4-way selects accumulated in int32 on the VPU.  The
+      MXU conv pads both its 4k-wide contraction and its M-wide output
+      to 128 lanes, so at M=2 it executes ~1000x the useful flops —
+      measured 11.2 ms/dispatch vs ~1 ms for the selects (v5e, B=2048,
+      R=2048, k=19; tools/bench_stages.py).  Exact in int32 directly —
+      no bf16 split needed.
+    * **MXU conv (M > SELECT_CONV_MAX_M)** — one-hot codes convolved
+      with the PWM stack split into two bf16-exact planes (entries in
+      [0, 1020]: hi = 4*floor(v/4) and lo = v mod 4 are both exactly
+      representable in bf16; f32 accumulation makes the sum bit-exact).
+      At JASPAR-scale M the MXU's M-lane amortisation wins over k*M*4
+      VPU selects per window.
+    """
+    b, r = codes.shape
     noff = r - k + 1
+    m_cols = pwm_kernel.shape[-1]
+    if m_cols <= SELECT_CONV_MAX_M:
+        pwm_i = pwm_kernel.astype(jnp.int32)  # (k, 4, M)
+        acc = jnp.zeros((b, noff, m_cols), jnp.int32)
+        for j in range(k):
+            sl = jax.lax.slice(codes, (0, j), (b, j + noff))  # (B, Noff)
+            sel = jnp.broadcast_to(sl[:, :, None], (b, noff, m_cols))
+            cases = [
+                jnp.broadcast_to(
+                    pwm_i[j, c][None, None, :], (b, noff, m_cols)
+                )
+                for c in range(4)
+            ]
+            acc = acc + jax.lax.select_n(sel, *cases)
+        return acc
     onehot = (
         codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.bfloat16)
-    # exact bf16 decomposition of the integer PWM: entries are scaled to
-    # [0, RANGE=1000] (models/process.py), so hi = 4*floor(v/4) <= 1020
-    # and lo = v mod 4 are both exactly representable in bf16 (8-bit
-    # mantissa covers ints <= 256 and 4x those).  One native-MXU bf16
-    # conv with doubled columns + f32 accumulation is then bit-exact —
-    # and ~3x cheaper than Precision.HIGHEST on a f32 one-hot.
-    m_cols = pwm_kernel.shape[-1]
     k_hi = jnp.floor(pwm_kernel / 4) * 4
     k_lo = pwm_kernel - k_hi
     split = jnp.concatenate([k_hi, k_lo], axis=-1).astype(jnp.bfloat16)
@@ -248,9 +281,17 @@ def _score_codes(
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
     )  # (B, Noff, 2M) f32-exact partial sums
-    scores = (
-        both[:, :, :m_cols] + both[:, :, m_cols:]
-    ).astype(jnp.int32)  # (B, Noff, M)
+    return (both[:, :, :m_cols] + both[:, :, m_cols:]).astype(jnp.int32)
+
+
+def _score_codes(
+    codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k: int,
+    hist_size: int,
+):
+    b = codes.shape[0]
+    r = codes.shape[1]
+    noff = r - k + 1
+    scores = _window_scores(codes, pwm_kernel, k)  # (B, Noff, M) int32
     m = scores.shape[-1]
     if n_ind is not None:
         # N-window detection via cumulative sums of the N indicator
@@ -315,32 +356,72 @@ def scan_runs_device_topk(
     )
 
 
+# per-row hit-slot capacity for the two-level compaction below: a row
+# (one run x all offsets x all motif columns) holding more than this many
+# hits forces the exact bitmask fallback for its slice.  32 covers dense
+# real-site clusters (a strong CTCF site lights up ~10 consecutive
+# windows x 2 strands); random-sequence slices at p<1e-4 average << 1.
+_ROW_SLOTS = 32
+
+
 def _topk_package(hist_acc, hist, hitbits, noff: int, m: int, topk: int):
-    n_hits = jnp.sum(
-        jax.lax.population_count(hitbits.astype(jnp.uint32))
-    ).astype(jnp.int32)
+    """Two-level on-device hit compaction.
+
+    The naive formulation (1-D cumsum + scatter over all B*Noff*M window
+    predicates) costs ~8x the conv+histogram combined on TPU — giant 1-D
+    scans and scatters are the ops to engineer around.  Instead:
+
+    1. per ROW (2-D, row-parallel, VPU-friendly): within-row hit ranks
+       via ``cumsum(axis=1)``, then ``_ROW_SLOTS`` fused masked
+       reductions extract each row's first hits' flat indices;
+    2. across rows: a scatter over only ``B*_ROW_SLOTS`` candidate slots
+       places them at their global positions (exclusive prefix of row
+       counts) — 3 orders of magnitude fewer scatter updates.
+
+    Rows with more than ``_ROW_SLOTS`` hits (or slices with more than
+    ``topk``) report ``n_hits > topk`` so the caller takes the exact
+    bitmask fallback.  Hit indices come out ascending (deterministic);
+    0 = empty slot, values are flat index + 1.
+    """
     b = hitbits.shape[0]
-    # rebuild the hit predicate from the packed bits to avoid re-deriving
-    # scores: unpack hitbits (cheap) and flatten
+    # rebuild the hit predicate from the packed bits (cheap elementwise)
     shifts = jnp.arange(8, dtype=jnp.uint8)
     bits = (hitbits[:, :, None, :] >> shifts[None, None, :, None]) & 1
     bits = bits.reshape(b, -1, m)[:, :noff, :]
-    flat = bits.reshape(-1).astype(jnp.int32)
-    # stream-compact the hit flat-indices: position = running hit count,
-    # non-hits scatter out of bounds (dropped).  O(N) cumsum + scatter —
-    # far cheaper than lax.top_k over the window tensor, and hits come
-    # out in ascending flat order (deterministic).  When a slice holds
-    # more than topk hits the tail clamps onto the last slot; the caller
-    # detects n_hits > topk and falls back to the full bitmask.
-    k_slots = min(topk, flat.shape[0])
-    pred = flat > 0
-    pos = jnp.cumsum(pred) - 1
-    idx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
-    target = jnp.where(pred, jnp.minimum(pos, k_slots - 1), k_slots)
+    c = noff * m
+    pred = bits.reshape(b, c).astype(jnp.int32)  # (B, C) 0/1
+    cnt = pred.sum(axis=1)  # (B,) hits per row
+    rank = jnp.cumsum(pred, axis=1)  # within-row rank (1-based at hits)
+    base = jnp.cumsum(cnt) - cnt  # (B,) exclusive prefix: global position
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    gidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, c), 0) * c + iota_c + 1
+    )  # flat window index + 1 (C-order over row, offset, motif)
+    slot_cols = [
+        jnp.sum(
+            jnp.where((rank == (s + 1)) & (pred > 0), gidx, 0), axis=1
+        )
+        for s in range(_ROW_SLOTS)
+    ]  # XLA fuses these sibling reductions into one pass over (B, C)
+    slot_mat = jnp.stack(slot_cols, axis=1)  # (B, S)
+    k_slots = min(topk, b * _ROW_SLOTS)
+    srange = jnp.arange(_ROW_SLOTS, dtype=jnp.int32)
+    valid = srange[None, :] < jnp.minimum(cnt, _ROW_SLOTS)[:, None]
+    tgt = jnp.where(
+        valid,
+        jnp.minimum(base[:, None] + srange[None, :], k_slots - 1),
+        k_slots,
+    )
     top_vals = (
         jnp.zeros((k_slots,), jnp.int32)
-        .at[target]
-        .max(idx + 1, mode="drop")
+        .at[tgt.reshape(-1)]
+        .max(slot_mat.reshape(-1), mode="drop")
+    )
+    n_hits = cnt.sum().astype(jnp.int32)
+    # a row overflowing its slots invalidates the compacted list even
+    # when n_hits <= topk: report past topk to force the bitmask tier
+    n_hits = jnp.where(
+        (cnt > _ROW_SLOTS).any(), jnp.maximum(n_hits, topk + 1), n_hits
     )
     return (
         hist_acc + hist.astype(hist_acc.dtype), hitbits, n_hits,

@@ -563,6 +563,51 @@ def _convert_patchable(
     return out
 
 
+def batch_wire_stats(batches: List[DeviceBatch], k: int) -> Dict[str, dict]:
+    """Host->device wire bytes per row category — the measurement gate for
+    the remaining residency work (docs/ROADMAP.md item 1: indel
+    combinations keep the packed path; build a span-splice expansion only
+    if their wire share warrants it).
+
+    Categories: ``backbone`` (4B genome-offset descriptors), ``patched``
+    (4B offset + 2B/patch-slot substitution descriptors), ``packed``
+    (R/4 sequence + R/8 N-mask bytes — indel combinations, short buckets,
+    fallback windows).  Validity bitmaps are charged to every category
+    (scan_batches skips them for clean slices, so this is an upper bound).
+    """
+    stats = {
+        c: {"rows": 0, "bytes": 0, "windows": 0}
+        for c in ("backbone", "patched", "packed")
+    }
+    for b in batches:
+        n = len(b.chunks)
+        noff = b.R - k + 1
+        vbytes = n * ((noff + 7) // 8)
+        if b.gstart is not None and b.patches is not None:
+            s = stats["patched"]
+            s["bytes"] += n * (4 + 2 * b.patches.shape[1]) + vbytes
+        elif b.gstart is not None:
+            s = stats["backbone"]
+            s["bytes"] += n * 4 + vbytes
+        else:
+            s = stats["packed"]
+            s["bytes"] += n * (b.R // 4 + b.R // 8) + vbytes
+        s["rows"] += n
+        s["windows"] += n * noff
+    return stats
+
+
+def _format_wire_stats(stats: Dict[str, dict]) -> str:
+    tot = max(1, sum(s["bytes"] for s in stats.values()))
+    parts = [
+        f"{c} {s['rows']} rows / {s['bytes'] / 1024:.0f} KiB "
+        f"({100 * s['bytes'] / tot:.0f}%)"
+        for c, s in stats.items()
+        if s["rows"]
+    ]
+    return "wire: " + ", ".join(parts) if parts else "wire: no batches"
+
+
 @dataclass
 class RunScanResult:
     hists: np.ndarray  # (hist_size, M) int64
@@ -1034,6 +1079,7 @@ def compute_results_runs(
             f"{n_win} windows/strand, {len(res.hits)} raw hits "
             f"({res.scoring_time:.2f}s)"
         )
+        print(_format_wire_stats(batch_wire_stats(batches, k)))
 
     # group hits by source run and reconstruct each run's hits in ONE
     # vectorised batch — dense-hit scans (testmode-style threshold ~ 1)

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from grafimo_tpu.ops.pallas_hist import (
-    TILE_N,
+    _tile_n,
     hist_pallas,
     hist_pallas_reference,
 )
@@ -42,7 +42,7 @@ def test_hist_pallas_exact_multitile():
     """Counts accumulate exactly across >1 grid tiles and padding rows."""
     rng = np.random.default_rng(7)
     hist_size = 501
-    n = TILE_N * 2 + 77  # forces padding and 3 tiles
+    n = _tile_n(1) * 2 + 77  # forces padding and 3 tiles
     scores = rng.integers(-1, hist_size, (1, n, 1)).astype(np.int32)
     got = np.asarray(hist_pallas(scores, hist_size, interpret=True))
     want = hist_pallas_reference(scores, hist_size)

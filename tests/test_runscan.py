@@ -163,3 +163,71 @@ def test_reconstruct_hits_batch_matches_scalar(toy_graph):
             assert seq_bytes[i].tobytes().decode("ascii") == hit.seq
             assert bool(is_ref[i]) == hit.is_ref
             assert int(freqs[i]) == hit.freq
+
+
+def test_batch_wire_stats_categories(toy_graph, ctcf):
+    """Wire accounting covers every batch row exactly once and splits by
+    residency category (ROADMAP item 1's measurement gate)."""
+    from grafimo_tpu.runscan import (
+        _format_wire_stats,
+        batch_runs,
+        batch_wire_stats,
+    )
+
+    k = ctcf.width
+    rrs = build_region_runs(toy_graph, "x", [(0, 45)], k)
+    batches = batch_runs(rrs, k)
+    stats = batch_wire_stats(batches, k)
+    assert sum(s["rows"] for s in stats.values()) == sum(
+        len(b.chunks) for b in batches
+    )
+    assert all(s["bytes"] >= 0 for s in stats.values())
+    # the toy graph has a resident backbone row and cluster rows
+    assert stats["backbone"]["rows"] > 0
+    line = _format_wire_stats(stats)
+    assert line.startswith("wire: ") and "backbone" in line
+
+
+def test_topk_row_overflow_forces_bitmask_tier():
+    """A row holding more hits than the per-row slot capacity must report
+    n_hits past topk so the caller takes the exact bitmask fallback; rows
+    within capacity compact exactly and in ascending order."""
+    import jax.numpy as jnp
+
+    from grafimo_tpu.ops.score_runs import (
+        _ROW_SLOTS,
+        _topk_package,
+        pack_bits,
+        unpack_hitbits,
+    )
+
+    noff, m = 130, 1
+    topk = 4096
+    rng = np.random.default_rng(11)
+
+    def package(mask):
+        hitbits = jnp.asarray(pack_bits(mask[:, :, 0]))[:, :, None]
+        hist = jnp.zeros((8, m), jnp.int32)
+        _h, _hb, nh, top = _topk_package(
+            hist, hist, hitbits, noff, m, topk
+        )
+        return int(nh), np.asarray(top)
+
+    # sparse: a few hits per row, exact ascending compaction
+    mask = np.zeros((6, noff, m), bool)
+    mask[rng.integers(0, 6, 17), rng.integers(0, noff, 17), 0] = True
+    nh, top = package(mask)
+    want = np.flatnonzero(mask.reshape(-1))
+    assert nh == len(want)
+    np.testing.assert_array_equal(top[:nh] - 1, want)
+    # overflow: one row exceeds the slot capacity while total <= topk
+    mask2 = np.zeros((6, noff, m), bool)
+    mask2[2, : _ROW_SLOTS + 3, 0] = True
+    nh2, _ = package(mask2)
+    assert nh2 > topk  # bitmask tier
+    # the packed bits themselves stay exact for the fallback
+    rt = unpack_hitbits(
+        np.asarray(jnp.asarray(pack_bits(mask2[:, :, 0]))[:, :, None]),
+        noff,
+    )
+    np.testing.assert_array_equal(rt, mask2)

@@ -129,25 +129,13 @@ def main() -> None:
     results["full_xla_hist"] = timed("full kernel (XLA hist)", full_step)
 
     # --- expand + conv only (scores, no hist / packaging) ---------------
+    from grafimo_tpu.ops.score_runs import _window_scores
+
     @partial(jax.jit, static_argnames=("r", "kk"))
     def conv_only(g4, gs, pwm, mn, r, kk):
         codes = _expand_resident(g4, gs, r)
-        b = codes.shape[0]
-        onehot = (
-            codes[:, :, None]
-            == jnp.arange(4, dtype=jnp.int32)[None, None, :]
-        ).astype(jnp.bfloat16)
-        mc = pwm.shape[-1]
-        k_hi = jnp.floor(pwm / 4) * 4
-        k_lo = pwm - k_hi
-        split = jnp.concatenate([k_hi, k_lo], axis=-1).astype(jnp.bfloat16)
-        both = jax.lax.conv_general_dilated(
-            onehot, split, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
-        )
-        s = (both[:, :, :mc] + both[:, :, mc:]).astype(jnp.int32)
-        return s.sum()  # tiny fetch
+        # production formulation for this M (select/LUT or MXU conv)
+        return _window_scores(codes, pwm, kk).sum()  # tiny fetch
 
     results["expand_conv"] = timed(
         "expand + conv only",
