@@ -125,31 +125,24 @@ def _expand_resident_bits(genome1: jnp.ndarray, gstart: jnp.ndarray, r: int):
 def _pallas_hist_mode() -> str:
     """``'off' | 'bf16' | 'int8'`` — resolved at TRACE time.
 
-    Default (``auto``): the Pallas histogram kernel runs on a single real
-    TPU device — it keeps the one-hot tiles in VMEM instead of
-    materialising them in HBM like the XLA dot (the histogram is ~99% of
-    the scan's flops, see ops/pallas_hist.py).  Multi-device auto-sharded
-    scans keep the XLA path (a Mosaic kernel is not GSPMD-partitionable),
-    as do CPU runs.  Override with ``GRAFIMO_PALLAS_HIST=off|bf16|int8``
-    (read when the enclosing jit traces, i.e. set it before the scan).
+    Default: **off** — measured on TPU v5e the Pallas VMEM-one-hot kernel
+    runs the same histogram 19% SLOWER than this module's XLA dot
+    formulation (14.2 vs 11.9 ms per 8.3M-element dispatch, bit-identical
+    checksums; tools/bench_stages.py, docs/BENCHMARKS.md).  Both are
+    bound by one-hot operand handling, and XLA's compare->bf16 fusion
+    lowers better than Mosaic's.  The kernel is kept for re-evaluation on
+    other TPU generations: ``GRAFIMO_PALLAS_HIST=bf16|int8`` opts in
+    (read when the enclosing jit traces — set it before the scan; only
+    meaningful on a single local TPU device, a Mosaic kernel is not
+    GSPMD-partitionable across the scan_batches mesh).
     """
     import os
 
-    v = os.environ.get("GRAFIMO_PALLAS_HIST", "auto").lower()
-    if v in ("0", "off", "false"):
-        return "off"
+    v = os.environ.get("GRAFIMO_PALLAS_HIST", "off").lower()
     if v in ("1", "on", "true", "bf16"):
         return "bf16"
     if v == "int8":
         return "int8"
-    import jax
-
-    # one LOCAL device: multi-host scans run plain per-process jits (one
-    # chip each) where Mosaic works; only the multi-LOCAL-device GSPMD
-    # auto-shard path (scan_batches' mesh) must keep the partitionable
-    # XLA formulation
-    if jax.default_backend() == "tpu" and len(jax.local_devices()) == 1:
-        return "bf16"
     return "off"
 
 
@@ -224,9 +217,17 @@ def _scan_core(
     )
 
 
-# at or below this motif-column count the window contraction runs as the
-# VPU select/LUT formulation; above it, the MXU conv (see _window_scores)
-SELECT_CONV_MAX_M = 16
+# motif-column count at or below which the window contraction runs as the
+# VPU select/LUT formulation instead of the MXU conv.  Default 0 (always
+# conv): measured on TPU v5e the NWC conv does a 2048x2048xk=19 m=2
+# dispatch in 10.9 ms vs 14.5 ms for the selects and 15.5 ms for an
+# explicit-im2col transposed matmul (tools/bench_stages.py) — the conv's
+# lane padding looked like ~30x wasted flops on paper, but every
+# alternative is VPU- or HBM-bound below the conv's realised rate.  Kept
+# selectable for other TPU generations: GRAFIMO_SELECT_CONV_MAX_M.
+SELECT_CONV_MAX_M = int(__import__("os").environ.get(
+    "GRAFIMO_SELECT_CONV_MAX_M", "0"
+))
 
 
 def _window_scores(codes, pwm_kernel, k: int) -> jnp.ndarray:

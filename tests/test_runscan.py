@@ -231,3 +231,37 @@ def test_topk_row_overflow_forces_bitmask_tier():
         noff,
     )
     np.testing.assert_array_equal(rt, mask2)
+
+
+def test_window_scores_select_matches_conv():
+    """The VPU select/LUT formulation and the MXU conv must agree
+    bit-for-bit (the default is hardware-measured, score_runs.py
+    SELECT_CONV_MAX_M; both stay correct)."""
+    import jax.numpy as jnp
+
+    import grafimo_tpu.ops.score_runs as sr
+
+    rng = np.random.default_rng(13)
+    k = 11
+    codes = jnp.asarray(rng.integers(0, 4, (8, 64)).astype(np.uint8)
+                        .astype(np.int32))
+    pwm = jnp.asarray(
+        rng.integers(0, 1000, (k, 4, 3)).astype(np.float32)
+    )
+    old = sr.SELECT_CONV_MAX_M
+    try:
+        sr.SELECT_CONV_MAX_M = 16
+        got_select = np.asarray(sr._window_scores(codes, pwm, k))
+        sr.SELECT_CONV_MAX_M = 0
+        got_conv = np.asarray(sr._window_scores(codes, pwm, k))
+    finally:
+        sr.SELECT_CONV_MAX_M = old
+    np.testing.assert_array_equal(got_select, got_conv)
+    # host oracle
+    c = np.asarray(codes)
+    p = np.asarray(pwm).astype(np.int64)
+    want = np.zeros_like(got_conv, dtype=np.int64)
+    for o in range(64 - k + 1):
+        for j in range(k):
+            want[:, o, :] += p[j, c[:, o + j], :]
+    np.testing.assert_array_equal(got_conv, want)

@@ -137,6 +137,65 @@ def main() -> None:
         # production formulation for this M (select/LUT or MXU conv)
         return _window_scores(codes, pwm, kk).sum()  # tiny fetch
 
+    # --- candidate: transposed batched-matmul conv -----------------------
+    # scoresT[b, m, o]: Noff on the lanes, contraction 4k -> pad 128 only
+    # (the NWC conv pads its M-wide output to 128 lanes: 32x waste at M=2)
+    @partial(jax.jit, static_argnames=("r", "kk"))
+    def conv_tmm(g4, gs, pwm, r, kk):
+        codes = _expand_resident(g4, gs, r)
+        b = codes.shape[0]
+        nf = r - kk + 1
+        mc = pwm.shape[-1]
+        onehotT = (
+            codes[:, None, :]
+            == jnp.arange(4, dtype=jnp.int32)[None, :, None]
+        ).astype(jnp.bfloat16)  # (B, 4, R)
+        rows = [
+            jax.lax.slice(onehotT, (0, 0, j), (b, 4, j + nf))
+            for j in range(kk)
+        ]
+        im2 = jnp.concatenate(rows, axis=1)  # (B, 4k, Noff)
+        k_hi = jnp.floor(pwm / 4) * 4
+        k_lo = pwm - k_hi
+        split = jnp.concatenate([k_hi, k_lo], axis=-1)  # (k, 4, 2M)
+        kmat = split.reshape(kk * 4, 2 * mc).T.astype(jnp.bfloat16)
+        both = jnp.einsum(
+            "xj,bjo->bxo", kmat, im2,
+            preferred_element_type=jnp.float32,
+        )  # (B, 2M, Noff)
+        s = (both[:, :mc, :] + both[:, mc:, :]).astype(jnp.int32)
+        return s.sum()
+
+    results["conv_tmm"] = timed(
+        "conv: transposed batched matmul",
+        lambda i: conv_tmm(genome4, gstart, pwm_dev, R, k),
+    )
+
+    # --- candidate: MXU NWC conv (the pre-select formulation) ------------
+    @partial(jax.jit, static_argnames=("r", "kk"))
+    def conv_nwc(g4, gs, pwm, r, kk):
+        codes = _expand_resident(g4, gs, r)
+        onehot = (
+            codes[:, :, None]
+            == jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.bfloat16)
+        mc = pwm.shape[-1]
+        k_hi = jnp.floor(pwm / 4) * 4
+        k_lo = pwm - k_hi
+        split = jnp.concatenate([k_hi, k_lo], axis=-1).astype(jnp.bfloat16)
+        both = jax.lax.conv_general_dilated(
+            onehot, split, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        s = (both[:, :, :mc] + both[:, :, mc:]).astype(jnp.int32)
+        return s.sum()
+
+    results["conv_nwc"] = timed(
+        "conv: NWC MXU conv",
+        lambda i: conv_nwc(genome4, gstart, pwm_dev, R, k),
+    )
+
     results["expand_conv"] = timed(
         "expand + conv only",
         lambda i: conv_only(genome4, gstart, pwm_dev, mins, R, k),
@@ -178,6 +237,48 @@ def main() -> None:
         except Exception as e:  # int8 MXU may be unsupported on this gen
             print(f"hist pallas {label} FAILED: {e}", file=sys.stderr)
             results[f"hist_pallas_{label}"] = None
+
+    # --- candidate: int8 one-hot XLA histogram (halved HBM traffic) ------
+    n_hi_i = (hist_size + 255) // 256 + 1
+    spill_i = (n_hi_i - 1) * 256
+
+    @partial(jax.jit, static_argnames=("hs",))
+    def xla_hist_int8(acc, s, hs):
+        v = s.reshape(-1)
+        v = jnp.where(v >= 0, v, jnp.int32(spill_i))
+        total = jnp.zeros((n_hi_i, 256), jnp.int32)
+        seg = 1 << 23
+        n = v.shape[0]
+        for s0 in range(0, n, seg):
+            sv = jax.lax.slice(v, (s0,), (min(s0 + seg, n),))
+            hi = sv // 256
+            lo = sv % 256
+            oh_hi = (
+                hi[:, None] == jnp.arange(n_hi_i, dtype=jnp.int32)[None, :]
+            ).astype(jnp.int8)
+            oh_lo = (
+                lo[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
+            ).astype(jnp.int8)
+            c = jax.lax.dot_general(
+                oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            total = total + c
+        return acc + total.reshape(-1)[:hs]
+
+    st8 = {"a": jnp.zeros((hist_size,), jnp.int32)}
+
+    def x8_step(i):
+        st8["a"] = xla_hist_int8(st8["a"], scores_dev[:, :, 0], hist_size)
+        return st8["a"]
+
+    # scores_dev col 0 only: halve elems for this probe, scale back
+    try:
+        per = timed("hist only: XLA int8 one-hot (1 col)", x8_step)
+        results["hist_xla_int8"] = per * 2  # normalise to 2 columns
+    except Exception as e:
+        print(f"int8 hist FAILED: {e}", file=sys.stderr)
+        results["hist_xla_int8"] = None
 
     # --- full kernel with the Pallas histogram (env-gated path) ---------
     os.environ["GRAFIMO_PALLAS_HIST"] = "bf16"
