@@ -63,3 +63,68 @@ def test_tutorial_namemap_build(tmp_path):
     assert rc == 0
     assert (graph_dir / "awesomeVG.gvt.npz").exists()
     assert (graph_dir / "FancyVG.gvt.npz").exists()
+
+
+def test_tutorial_namemap_find(tmp_path):
+    """findmotif resolves BED chromosome names through the find-side
+    name-map (reference --chroms-namemap-find, extract_regions.py:135-226)
+    and produces scores identical to the plain-named run."""
+    plain_dir = tmp_path / "plain"
+    named_dir = tmp_path / "named"
+    for outdir, extra in [
+        (plain_dir, []),
+        (
+            named_dir,
+            [
+                "--chroms-namemap-build",
+                str(TUTORIAL / "data" / "namemap.txt"),
+            ],
+        ),
+    ]:
+        rc = main(
+            [
+                "buildvg",
+                "-l", str(TUTORIAL / "data" / "xy.fa"),
+                "-v", str(TUTORIAL / "data" / "xy2.vcf.gz"),
+                "-o", str(outdir),
+            ]
+            + extra
+        )
+        assert rc == 0
+    outs = {}
+    for key, gdir, extra in [
+        ("plain", plain_dir, []),
+        (
+            "named",
+            named_dir,
+            [
+                "--chroms-namemap-find",
+                str(TUTORIAL / "data" / "namemap.txt"),
+            ],
+        ),
+    ]:
+        odir = tmp_path / f"out_{key}"
+        rc = main(
+            [
+                "findmotif",
+                "-d", str(gdir),
+                "-b", str(TUTORIAL / "data" / "regions.bed"),
+                "-m", str(TUTORIAL / "data" / "example.meme"),
+                "-k", str(TUTORIAL / "data" / "bg_nt"),
+                "-t", "0.01",
+                "-o", str(odir),
+            ]
+            + extra
+        )
+        assert rc == 0
+        outs[key] = pd.read_csv(
+            odir / "grafimo_out.tsv", sep="\t", index_col=0
+        )
+    a, b = outs["plain"], outs["named"]
+    assert len(b) == len(a) > 0
+    # identical windows/scores; sequence_name carries the mapped label
+    for col in ["start", "stop", "strand", "score", "p-value", "q-value"]:
+        assert (a[col].values == b[col].values).all(), col
+    assert set(b["sequence_name"].str.split(":").str[0]) == {
+        "awesomeVG", "FancyVG"
+    }
