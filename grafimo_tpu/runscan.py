@@ -47,9 +47,16 @@ from grafimo_tpu.utils.constants import RANGE
 BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 # device-resident cluster runs: patch slots per row and the minimum
 # bucket where the descriptor (4B gstart + 2B/slot) beats packed bytes
-# (R/4 sequence + R/8 N plane)
+# (R/4 sequence + R/8 N plane).  Short buckets hold the bulk of cluster
+# rows (e.g. 94% of wire bytes on a k=11 pangenome pass rode packed R=64
+# rows before this) and their combination runs rarely carry more than a
+# few substitutions, so they use a narrow 4-slot descriptor: 4+8 bytes
+# vs 24 packed at R=64 — the host->device link is bandwidth-bound at
+# ~10 MB/s (tools/bench_tunnel.py), bytes are the streaming lever.
 PATCH_SLOTS = 16
-MIN_PATCH_R = 128
+PATCH_SLOTS_SHORT = 4
+SHORT_PATCH_R = 256  # buckets at or below use the narrow descriptor
+MIN_PATCH_R = 64
 # on-device hit compaction capacity per scan slice; > SCAN_TOPK hits in
 # one slice falls back to fetching its full bitmask
 SCAN_TOPK = 1 << 13
@@ -505,6 +512,7 @@ def _convert_patchable(
         if b.packed is None or b.R < MIN_PATCH_R:
             out.append(b)
             continue
+        slots = PATCH_SLOTS_SHORT if b.R <= SHORT_PATCH_R else PATCH_SLOTS
         conv: Dict[int, list] = {}  # graph id -> [row indices]
         conv_data: Dict[int, list] = {}  # graph id -> [(gstart, patches)]
         graphs: Dict[int, SiteGraph] = {}
@@ -522,7 +530,7 @@ def _convert_patchable(
                 for c, code in coord_patches
                 if g0 <= c < g0 + b.R
             ]
-            if len(row) > PATCH_SLOTS:
+            if len(row) > slots:
                 continue
             gid = id(rr.graph)
             graphs[gid] = rr.graph
@@ -534,7 +542,7 @@ def _convert_patchable(
         moved = set()
         for gid, idxs in conv.items():
             moved.update(idxs)
-            pat = np.full((len(idxs), PATCH_SLOTS), -1, dtype=np.int16)
+            pat = np.full((len(idxs), slots), -1, dtype=np.int16)
             for j, (_g0, row) in enumerate(conv_data[gid]):
                 pat[j, : len(row)] = row
             out.append(

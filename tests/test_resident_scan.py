@@ -94,8 +94,13 @@ def test_resident_batching_partition(input_dir):
     for b in res:
         if b.gstart is None:
             continue
-        # every resident chunk is a backbone slice whose genome offset
-        # reproduces the packed content
+        if b.patches is not None:
+            # substitution-only cluster combinations ride as patch
+            # descriptors (cluster refs, not backbone)
+            assert all(c.source[1][0] >= 0 for c in b.chunks)
+            continue
+        # every plain-resident chunk is a backbone slice whose genome
+        # offset reproduces the packed content
         for gs, c in zip(b.gstart.tolist(), b.chunks):
             assert c.source[1][0] == -1
             region = c.source[0].split(":")[1]
