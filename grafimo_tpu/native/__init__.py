@@ -96,18 +96,23 @@ def _lib() -> ctypes.CDLL:
             lib.gt_runs_export.restype = None
             lib.gt_runs_free.argtypes = [c.c_void_p]
             lib.gt_runs_free.restype = None
+            i16p = c.POINTER(c.c_int16)
             lib.gt_batch_regions.argtypes = [
                 u8p, c.c_int64, c.c_int64, i64p, i64p, i64p, i32p,
                 i64p, i64p, u8p, i64p, i64p, c.c_int64, c.c_int64,
-                i64p, c.c_int64, c.c_int64, c.c_int64, i32p, i32p,
+                i64p, i64p, c.c_int64, c.c_int64, c.c_int64, i32p, i32p,
             ]
             lib.gt_batch_regions.restype = c.c_void_p
-            lib.gt_batch_rows.argtypes = [c.c_void_p, i64p]
+            lib.gt_batch_rows.argtypes = [c.c_void_p, i64p, i64p]
             lib.gt_batch_rows.restype = None
             lib.gt_batch_export.argtypes = [
                 c.c_void_p, c.c_int64, u8p, u8p, u8p, i32p,
             ]
             lib.gt_batch_export.restype = None
+            lib.gt_batch_export_patched.argtypes = [
+                c.c_void_p, c.c_int64, i64p, i16p, u8p, i32p,
+            ]
+            lib.gt_batch_export_patched.restype = None
             lib.gt_batch_free.argtypes = [c.c_void_p]
             lib.gt_batch_free.restype = None
             u64p = c.POINTER(c.c_uint64)
@@ -246,7 +251,7 @@ def build_region_runs_native(graph, region_start, region_end, k,
 
 
 def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
-                         n_threads=0):
+                         n_threads=0, bucket_slots=None):
     """C++ full batch pipeline: all regions of one graph -> device-ready
     bucketed, bit-packed batches.
 
@@ -255,6 +260,13 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
     int32 ``(rows, 4)``: region_idx, cluster_idx, combo_idx, chunk_off)
     and skipped regions (over-dense clusters) must be handled by the
     python fallback.
+
+    ``bucket_slots`` (aligned with ``sorted(buckets)``) enables native
+    patch-descriptor emission: substitution-only cluster chunks with at
+    most that many substituted bases land in a ``patched`` sub-dict
+    (``gstart int64 (rows,)``, ``patches int16 (rows, slots)``, vbits,
+    meta) instead of the packed arrays — device-resident cluster rows
+    with no per-chunk python work.
     """
     import ctypes as c
 
@@ -263,9 +275,16 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
     u8p = c.POINTER(c.c_uint8)
     i64p = c.POINTER(c.c_int64)
     i32p = c.POINTER(c.c_int32)
+    i16p = c.POINTER(c.c_int16)
     starts = np.array([r[0] for r in regions], dtype=np.int64)
     ends = np.array([r[1] for r in regions], dtype=np.int64)
     bucket_arr = np.array(sorted(buckets), dtype=np.int64)
+    slots_arr = np.array(
+        bucket_slots if bucket_slots is not None
+        else [0] * bucket_arr.size,
+        dtype=np.int64,
+    )
+    assert slots_arr.size == bucket_arr.size
     n_skipped = np.zeros(1, dtype=np.int32)
     skipped_flags = np.zeros(len(regions), dtype=np.int32)
     if n_threads <= 0:
@@ -282,7 +301,8 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
         flat["blob"].ctypes.data_as(u8p),
         starts.ctypes.data_as(i64p), ends.ctypes.data_as(i64p),
         c.c_int64(len(regions)), c.c_int64(k),
-        bucket_arr.ctypes.data_as(i64p), c.c_int64(bucket_arr.size),
+        bucket_arr.ctypes.data_as(i64p),
+        slots_arr.ctypes.data_as(i64p), c.c_int64(bucket_arr.size),
         c.c_int64(max_combos), c.c_int64(n_threads),
         skipped_flags.ctypes.data_as(i32p),
         n_skipped.ctypes.data_as(i32p),
@@ -291,25 +311,48 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
         raise RuntimeError("gt_batch_regions failed")
     try:
         rows = np.zeros(bucket_arr.size, dtype=np.int64)
-        lib.gt_batch_rows(handle, rows.ctypes.data_as(i64p))
+        rows_p = np.zeros(bucket_arr.size, dtype=np.int64)
+        lib.gt_batch_rows(
+            handle, rows.ctypes.data_as(i64p), rows_p.ctypes.data_as(i64p)
+        )
         per_bucket = {}
         for bi, r_len in enumerate(bucket_arr.tolist()):
             n = int(rows[bi])
-            if n == 0:
+            n_p = int(rows_p[bi])
+            if n == 0 and n_p == 0:
                 continue
             noff = r_len - k + 1
-            packed = np.empty((n, r_len // 4), dtype=np.uint8)
-            nbits = np.empty((n, (r_len + 7) // 8), dtype=np.uint8)
-            vbits = np.empty((n, (noff + 7) // 8), dtype=np.uint8)
-            meta = np.empty((n, 4), dtype=np.int32)
-            lib.gt_batch_export(
-                handle, c.c_int64(bi),
-                packed.ctypes.data_as(u8p), nbits.ctypes.data_as(u8p),
-                vbits.ctypes.data_as(u8p), meta.ctypes.data_as(i32p),
-            )
-            per_bucket[int(r_len)] = dict(
-                packed=packed, nbits=nbits, vbits=vbits, meta=meta
-            )
+            entry = {}
+            if n:
+                packed = np.empty((n, r_len // 4), dtype=np.uint8)
+                nbits = np.empty((n, (r_len + 7) // 8), dtype=np.uint8)
+                vbits = np.empty((n, (noff + 7) // 8), dtype=np.uint8)
+                meta = np.empty((n, 4), dtype=np.int32)
+                lib.gt_batch_export(
+                    handle, c.c_int64(bi),
+                    packed.ctypes.data_as(u8p), nbits.ctypes.data_as(u8p),
+                    vbits.ctypes.data_as(u8p), meta.ctypes.data_as(i32p),
+                )
+                entry.update(
+                    packed=packed, nbits=nbits, vbits=vbits, meta=meta
+                )
+            if n_p:
+                slots = int(slots_arr[bi])
+                gstart = np.empty(n_p, dtype=np.int64)
+                pat = np.empty((n_p, slots), dtype=np.int16)
+                vbits_p = np.empty((n_p, (noff + 7) // 8), dtype=np.uint8)
+                meta_p = np.empty((n_p, 4), dtype=np.int32)
+                lib.gt_batch_export_patched(
+                    handle, c.c_int64(bi),
+                    gstart.ctypes.data_as(i64p),
+                    pat.ctypes.data_as(i16p),
+                    vbits_p.ctypes.data_as(u8p),
+                    meta_p.ctypes.data_as(i32p),
+                )
+                entry["patched"] = dict(
+                    gstart=gstart, patches=pat, vbits=vbits_p, meta=meta_p
+                )
+            per_bucket[int(r_len)] = entry
     finally:
         lib.gt_batch_free(handle)
     return per_bucket, np.nonzero(skipped_flags)[0].tolist()

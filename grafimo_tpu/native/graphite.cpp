@@ -37,6 +37,12 @@ struct RunOut {
   std::vector<uint8_t> valid;   // one byte per window offset
   int32_t cluster_idx;          // -1 = backbone
   int32_t combo_idx;
+  // substitution-only combinations are genome-aligned: codes[j] ==
+  // seq[flank_l + j] except at `patches` (genome pos, base) — such rows
+  // ship to the device as descriptors instead of packed bytes
+  bool patchable = false;
+  int64_t flank_l = 0;
+  std::vector<std::pair<int64_t, uint8_t>> patches;
 };
 
 struct RunSet {
@@ -91,6 +97,9 @@ bool build_cluster_run(const GraphView& g,
   };
 
   emit_ref(flank_l, first.start);
+  out->flank_l = flank_l;
+  out->patchable = true;  // until a length-changing allele shows up
+  out->patches.clear();
   int64_t cursor = first.start;
   for (size_t i = 0; i < cluster.size(); ++i) {
     const SiteView& s = g.sites[cluster[i]];
@@ -98,6 +107,20 @@ bool build_cluster_run(const GraphView& g,
     emit_ref(cursor, s.start);
     int64_t alen = g.allele_len[s.allele_off + a_idx];
     const uint8_t* aseq = g.allele_blob + g.allele_off[s.allele_off + a_idx];
+    if (alen != s.end - s.start) out->patchable = false;
+    if (out->patchable && a_idx != 0) {
+      // mirror runscan._patch_info: substituted bases must be ACGT over
+      // ACGT reference (the resident N plane comes from the genome)
+      for (int64_t o = 0; o < alen; ++o) {
+        uint8_t refc = g.seq[s.start + o];
+        if (aseq[o] == refc) continue;
+        if (aseq[o] >= 4 || refc >= 4) {
+          out->patchable = false;
+          break;
+        }
+        out->patches.emplace_back(s.start + o, aseq[o]);
+      }
+    }
     int64_t a_start = (int64_t)codes.size();
     if (alen == 0) {
       det.push_back({a_start - k + 1, a_start - 1, a_idx});
@@ -243,6 +266,15 @@ struct BucketBuf {
   std::vector<uint8_t> nbits;   // rows x R/8
   std::vector<uint8_t> vbits;   // rows x ceil((R-k+1)/8)
   std::vector<int32_t> meta;    // rows x 4: region, cluster, combo, chunk_off
+  // device-resident patched rows (substitution-only cluster chunks):
+  // 4B genome offset + slots x 2B patch descriptors instead of packed
+  // bytes — the host->device link is bandwidth-bound, bytes are the lever
+  int64_t slots = 0;  // 0 = patching disabled for this bucket
+  int64_t rows_p = 0;
+  std::vector<int64_t> gstart_p;   // rows_p
+  std::vector<int16_t> pat_p;      // rows_p x slots, -1 = empty
+  std::vector<uint8_t> vbits_p;    // rows_p x ceil((R-k+1)/8)
+  std::vector<int32_t> meta_p;     // rows_p x 4
 };
 
 struct BatchSet {
@@ -283,6 +315,30 @@ void append_chunk(BucketBuf* b, int64_t k, const uint8_t* codes,
   b->rows += 1;
 }
 
+void append_patched(BucketBuf* b, int64_t k, const RunOut& r, int64_t pos,
+                    int64_t take_off, int64_t p_lo, int64_t p_hi,
+                    int32_t region) {
+  const int64_t noff = b->R - k + 1;
+  const int64_t vw = (noff + 7) / 8;
+  size_t v0 = b->vbits_p.size();
+  b->vbits_p.resize(v0 + vw, 0);
+  for (int64_t o = 0; o < take_off; ++o)
+    if (r.valid[pos + o])
+      b->vbits_p[v0 + (o >> 3)] |= (uint8_t)(1u << (o & 7));
+  int64_t g0 = r.flank_l + pos;
+  b->gstart_p.push_back(g0);
+  size_t s0 = b->pat_p.size();
+  b->pat_p.resize(s0 + b->slots, (int16_t)-1);
+  for (int64_t pi = p_lo; pi < p_hi; ++pi)
+    b->pat_p[s0 + (pi - p_lo)] =
+        (int16_t)((r.patches[pi].first - g0) * 4 + r.patches[pi].second);
+  b->meta_p.push_back(region);
+  b->meta_p.push_back(r.cluster_idx);
+  b->meta_p.push_back(r.combo_idx);
+  b->meta_p.push_back((int32_t)pos);
+  b->rows_p += 1;
+}
+
 void fill_batchset(BatchSet* bs, const GraphView& g,
                    const int64_t* region_starts, const int64_t* region_ends,
                    int64_t k, const int64_t* bucket_sizes, int64_t n_buckets,
@@ -293,14 +349,34 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
     int64_t L = (int64_t)r.codes.size();
     int64_t noff_total = L - k + 1;
     int64_t pos = 0;
+    size_t p_cursor = 0;  // patches are emitted in ascending genome order
     while (pos < noff_total) {
       int64_t take_off = std::min(stride_base, noff_total - pos);
       int64_t chunk_len = take_off + k - 1;
       int64_t bi = 0;
       while (bucket_sizes[bi] < chunk_len) ++bi;
-      append_chunk(&bs->buckets[bi], k, r.codes.data() + pos,
-                   r.valid.data() + pos, chunk_len, take_off, region,
-                   r.cluster_idx, r.combo_idx, (int32_t)pos);
+      BucketBuf* b = &bs->buckets[bi];
+      if (r.patchable && r.cluster_idx >= 0 && b->slots > 0) {
+        // patches covered by this chunk: genome coords in
+        // [flank_l + pos, flank_l + pos + R)
+        int64_t g0 = r.flank_l + pos;
+        while (p_cursor < r.patches.size() &&
+               r.patches[p_cursor].first < g0)
+          ++p_cursor;
+        size_t p_end = p_cursor;
+        while (p_end < r.patches.size() &&
+               r.patches[p_end].first < g0 + b->R)
+          ++p_end;
+        if ((int64_t)(p_end - p_cursor) <= b->slots) {
+          append_patched(b, k, r, pos, take_off, (int64_t)p_cursor,
+                         (int64_t)p_end, region);
+          pos += take_off;
+          continue;
+        }
+      }
+      append_chunk(b, k, r.codes.data() + pos, r.valid.data() + pos,
+                   chunk_len, take_off, region, r.cluster_idx, r.combo_idx,
+                   (int32_t)pos);
       pos += take_off;
     }
   };
@@ -326,16 +402,19 @@ BatchSet* batch_regions_impl(const GraphView& g,
                              const int64_t* region_starts,
                              const int64_t* region_ends, int64_t n_regions,
                              int64_t k, const int64_t* bucket_sizes,
-                             int64_t n_buckets, int64_t max_combos,
-                             int64_t n_threads, int32_t* skipped_flags) {
+                             const int64_t* bucket_slots, int64_t n_buckets,
+                             int64_t max_combos, int64_t n_threads,
+                             int32_t* skipped_flags) {
   n_threads = std::max<int64_t>(1, std::min(n_threads, n_regions));
   std::vector<BatchSet*> partials(n_threads);
   for (auto& p : partials) {
     p = new BatchSet();
     p->k = k;
     p->buckets.resize(n_buckets);
-    for (int64_t i = 0; i < n_buckets; ++i)
+    for (int64_t i = 0; i < n_buckets; ++i) {
       p->buckets[i].R = bucket_sizes[i];
+      p->buckets[i].slots = bucket_slots ? bucket_slots[i] : 0;
+    }
   }
   // regions are claimed from a shared counter; each worker fills its own
   // BatchSet (share-nothing), merged below
@@ -366,6 +445,14 @@ BatchSet* batch_regions_impl(const GraphView& g,
       dst.vbits.insert(dst.vbits.end(), src.vbits.begin(), src.vbits.end());
       dst.meta.insert(dst.meta.end(), src.meta.begin(), src.meta.end());
       dst.rows += src.rows;
+      dst.gstart_p.insert(dst.gstart_p.end(), src.gstart_p.begin(),
+                          src.gstart_p.end());
+      dst.pat_p.insert(dst.pat_p.end(), src.pat_p.begin(), src.pat_p.end());
+      dst.vbits_p.insert(dst.vbits_p.end(), src.vbits_p.begin(),
+                         src.vbits_p.end());
+      dst.meta_p.insert(dst.meta_p.end(), src.meta_p.begin(),
+                        src.meta_p.end());
+      dst.rows_p += src.rows_p;
     }
     delete p;
   }
@@ -385,6 +472,7 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
                        const int64_t* region_starts,
                        const int64_t* region_ends, int64_t n_regions,
                        int64_t k, const int64_t* bucket_sizes,
+                       const int64_t* bucket_slots,
                        int64_t n_buckets, int64_t max_combos,
                        int64_t n_threads, int32_t* skipped_flags,
                        int32_t* n_skipped) {
@@ -400,16 +488,18 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
         {site_start[i], site_end[i], site_allele_off[i], site_n_alleles[i]});
   BatchSet* bs =
       batch_regions_impl(g, region_starts, region_ends, n_regions, k,
-                         bucket_sizes, n_buckets, max_combos, n_threads,
-                         skipped_flags);
+                         bucket_sizes, bucket_slots, n_buckets, max_combos,
+                         n_threads, skipped_flags);
   *n_skipped = bs->n_skipped_regions;
   return bs;
 }
 
-void gt_batch_rows(void* h, int64_t* rows_out) {
+void gt_batch_rows(void* h, int64_t* rows_out, int64_t* rows_p_out) {
   BatchSet* bs = (BatchSet*)h;
-  for (size_t i = 0; i < bs->buckets.size(); ++i)
+  for (size_t i = 0; i < bs->buckets.size(); ++i) {
     rows_out[i] = bs->buckets[i].rows;
+    rows_p_out[i] = bs->buckets[i].rows_p;
+  }
 }
 
 void gt_batch_export(void* h, int64_t bucket, uint8_t* packed, uint8_t* nbits,
@@ -419,6 +509,16 @@ void gt_batch_export(void* h, int64_t bucket, uint8_t* packed, uint8_t* nbits,
   std::memcpy(nbits, b.nbits.data(), b.nbits.size());
   std::memcpy(vbits, b.vbits.data(), b.vbits.size());
   std::memcpy(meta, b.meta.data(), b.meta.size() * sizeof(int32_t));
+}
+
+void gt_batch_export_patched(void* h, int64_t bucket, int64_t* gstart,
+                             int16_t* pat, uint8_t* vbits, int32_t* meta) {
+  BucketBuf& b = ((BatchSet*)h)->buckets[bucket];
+  std::memcpy(gstart, b.gstart_p.data(),
+              b.gstart_p.size() * sizeof(int64_t));
+  std::memcpy(pat, b.pat_p.data(), b.pat_p.size() * sizeof(int16_t));
+  std::memcpy(vbits, b.vbits_p.data(), b.vbits_p.size());
+  std::memcpy(meta, b.meta_p.data(), b.meta_p.size() * sizeof(int32_t));
 }
 
 void gt_batch_free(void* h) { delete (BatchSet*)h; }

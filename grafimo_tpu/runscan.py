@@ -311,14 +311,25 @@ def batch_runs(
         groups: Dict[int, List[RegionRuns]] = {}
         for rr in native_rrs:
             groups.setdefault(id(rr.graph), []).append(rr)
+        # per-bucket patch-slot policy (0 disables native patch emission;
+        # see PATCH_SLOTS/SHORT_PATCH_R above) — only meaningful for
+        # resident scans, checkpoints persist full payloads
+        sorted_buckets = sorted(buckets)
+        bucket_slots = [
+            0
+            if (not resident or r < MIN_PATCH_R)
+            else (PATCH_SLOTS_SHORT if r <= SHORT_PATCH_R else PATCH_SLOTS)
+            for r in sorted_buckets
+        ]
         for group in groups.values():
             try:
                 per_bucket_native, skipped_idx = fn(
                     group[0].graph,
                     [(rr.start, rr.stop) for rr in group],
                     k,
-                    sorted(buckets),
+                    sorted_buckets,
                     n_threads=threads,
+                    bucket_slots=bucket_slots,
                 )
                 for ri in skipped_idx:
                     # over-dense cluster: the python builder handles the
@@ -333,6 +344,29 @@ def batch_runs(
                     [max(0, rr.start) for rr in group], dtype=np.int64
                 )
                 for r_len, d in per_bucket_native.items():
+                    p = d.get("patched")
+                    if p is not None and len(p["meta"]):
+                        batches.append(
+                            DeviceBatch(
+                                R=r_len, packed=None, nbits=None,
+                                vbits=p["vbits"],
+                                chunks=[
+                                    RunChunk(
+                                        (
+                                            group[int(m[0])].key,
+                                            (int(m[1]), int(m[2])),
+                                        ),
+                                        int(m[3]),
+                                    )
+                                    for m in p["meta"]
+                                ],
+                                gstart=p["gstart"].astype(np.int32),
+                                graph=group[0].graph,
+                                patches=p["patches"],
+                            )
+                        )
+                    if "meta" not in d:
+                        continue
                     meta = d["meta"]
                     chunks = [
                         RunChunk(
@@ -393,6 +427,7 @@ def batch_runs(
                         rr._run_cache[run.ref] = run
                     python_rrs.append(rr)
     region_runs_list = python_rrs
+    n_native_batches = len(batches)  # native patch emission already done
     per_bucket: Dict[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray, RunChunk]]] = {}
     res_bucket: Dict[Tuple[int, int], List[Tuple[int, np.ndarray, RunChunk]]] = {}
     res_graphs: Dict[int, SiteGraph] = {}
@@ -449,7 +484,11 @@ def batch_runs(
             )
         )
     if resident:
-        batches = _convert_patchable(batches, by_key, k)
+        # python-built batches only: the native pipeline already emitted
+        # patch descriptors for its substitution-only cluster chunks
+        batches = batches[:n_native_batches] + _convert_patchable(
+            batches[n_native_batches:], by_key, k
+        )
     return batches
 
 
