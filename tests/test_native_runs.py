@@ -70,3 +70,60 @@ def test_native_runs_through_scan(input_dir):
         motif.motif_id
     ]
     assert len(got) > 0
+
+
+def test_native_batcher_matches_python_batcher(input_dir, monkeypatch):
+    """The C++ batch pipeline (incl. native patch-descriptor emission)
+    and the pure-python path must cover the same chunks with the same
+    residency categorisation and produce identical scan results."""
+    import pandas as pd
+
+    from grafimo_tpu.models.parse import load_motifs
+    from grafimo_tpu.runscan import (
+        batch_runs,
+        batch_wire_stats,
+        build_region_runs,
+        compute_results_runs,
+    )
+    from grafimo_tpu.utils.constants import UNIF
+
+    seqs = read_fasta(str(input_dir / "test.fa"))
+    records = list(iter_vcf_records(str(input_dir / "test.vcf.gz"), "x"))
+    motif = load_motifs(
+        str(input_dir / "MA0139.1.meme"), UNIF, 0.1, False
+    )[0]
+    k = motif.width
+    outs = {}
+    for label, disable in [("native", None), ("python", "1")]:
+        if disable:
+            monkeypatch.setenv("GRAFIMO_TPU_NO_NATIVE", disable)
+            import grafimo_tpu.native as nat
+
+            monkeypatch.setattr(nat, "_LIB", None)
+            monkeypatch.setattr(
+                nat, "_LIB_ERR",
+                RuntimeError("disabled for differential test"),
+            )
+        graph = build_graph("x", seqs["x"], records)
+        rrs = build_region_runs(graph, "x", [(0, 50), (5, 45)], k)
+        batches = batch_runs(rrs, k)
+        stats = batch_wire_stats(batches, k)
+        chunks = sorted(
+            (c.source, c.chunk_off, b.R, b.patches is not None)
+            for b in batches
+            for c in b.chunks
+        )
+        rrs2 = build_region_runs(graph, "x", [(0, 50), (5, 45)], k)
+        df = compute_results_runs(
+            [motif], rrs2, threshold=1.0, recomb=True
+        )[motif.motif_id]
+        outs[label] = (stats, chunks, df)
+    assert outs["native"][0] == outs["python"][0]
+    assert outs["native"][1] == outs["python"][1]
+    a = outs["native"][2].sort_values(
+        ["p-value", "start", "stop", "strand", "matched_sequence"]
+    ).reset_index(drop=True)
+    b = outs["python"][2].sort_values(
+        ["p-value", "start", "stop", "strand", "matched_sequence"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
