@@ -63,18 +63,22 @@ def _hist_kernel(
         s = jnp.where(s < 0, jnp.int32(spill), s)
         hi = s // _LO
         lo = s - hi * _LO
-        oh_hi = (
-            hi[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (tile, n_hi), 1)
+        # build the hi plane already TRANSPOSED, (n_hi, tile): the dot is
+        # then a standard (A, T) x (T, B) matmul — contracting dim 0 of a
+        # (T, A) operand costs Mosaic a physical relayout of the whole
+        # one-hot tile
+        oh_hiT = (
+            hi[None, :]
+            == jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0)
         ).astype(op_dtype)
         oh_lo = (
             lo[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (tile, _LO), 1)
         ).astype(op_dtype)
         counts = jax.lax.dot_general(
-            oh_hi,
+            oh_hiT,
             oh_lo,
-            (((0,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=acc_t,
         ).astype(jnp.int32)  # (n_hi, 256); per-tile counts <= tile, exact
         out_ref[mi] += counts
