@@ -230,6 +230,11 @@ def args_to_workflow(args: argparse.Namespace):
 
 
 def main(argv=None) -> int:
+    """Run one workflow with the reference's error discipline: EVERY
+    uncaught exception prints one red line and exits 1 unless ``--debug``
+    (the reference installs a global ``sys.excepthook`` for this,
+    ``grafimo.py:29`` + ``utils.py:63-80``); SIGINT prints a notice and
+    exits 2 (``utils.py:54-60``)."""
     from grafimo_tpu.workflows import buildvg, findmotif
 
     parser = get_parser()
@@ -240,12 +245,15 @@ def main(argv=None) -> int:
             buildvg(workflow)
         else:
             findmotif(workflow)
+    except KeyboardInterrupt:
+        sys.stderr.write("\nCaught SIGINT. GRAFIMO-TPU will exit\n")
+        return 2
     except GrafimoError as e:
         if args.debug:
             raise
         sys.stderr.write(f"\033[31m\nERROR: {e}\033[0m\n")
         return 1
-    except (ValueError, FileNotFoundError, OSError) as e:
+    except Exception as e:  # noqa: BLE001 — excepthook semantics
         if args.debug:
             raise
         sys.stderr.write(f"\033[31m\nERROR: {e}\033[0m\n")

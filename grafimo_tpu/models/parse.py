@@ -278,18 +278,31 @@ def process_motifs(prepared: List[Motif]) -> List[Motif]:
     if n >= 16 and workers > 1:
         try:
             import multiprocessing
+            import signal
             from concurrent.futures import ProcessPoolExecutor
 
             ctx = multiprocessing.get_context("fork")
-            with ProcessPoolExecutor(
-                max_workers=workers, mp_context=ctx
-            ) as pool:
+            # reference SIGINT discipline around fork pools
+            # (motif_ops.py:304-338): children inherit SIG_IGN so a
+            # Ctrl-C only reaches the parent, which terminates the pool
+            # cleanly instead of orphaning workers mid-compute
+            old_handler = signal.signal(signal.SIGINT, signal.SIG_IGN)
+            pool = ProcessPoolExecutor(max_workers=workers, mp_context=ctx)
+            signal.signal(signal.SIGINT, old_handler)
+            try:
                 return list(
                     pool.map(
                         process_motif, prepared,
                         chunksize=max(1, n // (workers * 4)),
                     )
                 )
+            except KeyboardInterrupt:
+                pool.shutdown(wait=False, cancel_futures=True)
+                raise
+            finally:
+                pool.shutdown(wait=True)
+        except KeyboardInterrupt:
+            raise
         except Exception:
             pass
     return [process_motif(m) for m in prepared]

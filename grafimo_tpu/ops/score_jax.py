@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from grafimo_tpu.utils.constants import N_CODE, RANGE
+from grafimo_tpu.utils.constants import N_CODE, PAD_CODE, RANGE
 
 
 def pwm_to_flat(score_matrix: np.ndarray) -> np.ndarray:
@@ -43,21 +43,16 @@ def pwms_to_flat(score_matrices) -> np.ndarray:
     return np.stack([pwm_to_flat(m) for m in score_matrices], axis=1)
 
 
-@partial(jax.jit, static_argnames=("hist_size",))
-def score_and_histogram(codes, pwm_flat, min_scores, hist_size: int):
-    """Score a batch against M same-width motifs and histogram the scores.
+def score_hist_core(codes, pwm_flat, min_scores, hist_size: int):
+    """The ONE scoring + exact-histogram core — shared verbatim by the
+    plain jit path (:func:`score_and_histogram`) and the multi-chip
+    shard_map window step (``parallel/pipeline.sharded_scan_step``), so
+    the two cannot drift.
 
-    Parameters
-    ----------
-    codes: ``(B, k)`` uint8/int32, values 0..3 (4 = N)
-    pwm_flat: ``(4k, M)`` float32 scaled score matrices
-    min_scores: ``(M,)`` int32 per-motif ``min_score`` (N-window score)
-    hist_size: static, ``RANGE * k + 1``
-
-    Returns
-    -------
-    scores: ``(B, M)`` int32 exact integer scores
-    hist: ``(hist_size, M)`` int32 score histogram
+    ``codes (B, k)``: 0..3 bases, ``N_CODE`` (4) = N window -> scores
+    ``min_score`` (reference ``score_sequences.py:376-378``),
+    ``PAD_CODE`` (5) = padding row -> scores -1 and drops from the
+    histogram.
     """
     b, k = codes.shape
     codes = codes.astype(jnp.int32)
@@ -72,12 +67,34 @@ def score_and_histogram(codes, pwm_flat, min_scores, hist_size: int):
     scores = raw.astype(jnp.int32)
     has_n = jnp.any(codes >= N_CODE, axis=1)
     scores = jnp.where(has_n[:, None], min_scores[None, :], scores)
+    is_pad = jnp.any(codes >= PAD_CODE, axis=1)
+    scores = jnp.where(is_pad[:, None], jnp.int32(-1), scores)
     m_idx = jnp.broadcast_to(
         jnp.arange(scores.shape[1], dtype=jnp.int32)[None, :], scores.shape
     )
+    valid = (scores >= 0).astype(jnp.int32)
     hist = jnp.zeros((hist_size, scores.shape[1]), jnp.int32)
-    hist = hist.at[scores, m_idx].add(1)
+    hist = hist.at[jnp.clip(scores, 0, hist_size - 1), m_idx].add(valid)
     return scores, hist
+
+
+@partial(jax.jit, static_argnames=("hist_size",))
+def score_and_histogram(codes, pwm_flat, min_scores, hist_size: int):
+    """Score a batch against M same-width motifs and histogram the scores.
+
+    Parameters
+    ----------
+    codes: ``(B, k)`` uint8/int32, values 0..3 (4 = N, 5 = padding)
+    pwm_flat: ``(4k, M)`` float32 scaled score matrices
+    min_scores: ``(M,)`` int32 per-motif ``min_score`` (N-window score)
+    hist_size: static, ``RANGE * k + 1``
+
+    Returns
+    -------
+    scores: ``(B, M)`` int32 exact integer scores (-1 on padding rows)
+    hist: ``(hist_size, M)`` int32 score histogram (padding dropped)
+    """
+    return score_hist_core(codes, pwm_flat, min_scores, hist_size)
 
 
 @jax.jit

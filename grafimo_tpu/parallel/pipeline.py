@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from grafimo_tpu.utils.constants import N_CODE, PAD_CODE
+from grafimo_tpu.ops.score_jax import score_hist_core
+from grafimo_tpu.utils.constants import PAD_CODE
 
 
 def make_mesh(
@@ -38,33 +39,6 @@ def make_mesh(
         n_data = devices.size // n_motif
     devices = devices[: n_data * n_motif].reshape(n_data, n_motif)
     return Mesh(devices, axis_names=("data", "motif"))
-
-
-def _score_core(codes, pwm_flat, min_scores, hist_size: int):
-    """Single-shard scoring + histogram (same math as
-    ``ops/score_jax.score_and_histogram``)."""
-    b, k = codes.shape
-    codes = codes.astype(jnp.int32)
-    onehot = (
-        codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
-    ).astype(jnp.float32)
-    onehot = onehot.reshape(b, 4 * k)
-    scores = jnp.dot(
-        onehot, pwm_flat, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(jnp.int32)
-    has_n = jnp.any(codes >= N_CODE, axis=1)
-    scores = jnp.where(has_n[:, None], min_scores[None, :], scores)
-    # padding rows score -1: never counted in histograms nor past cutoffs
-    is_pad = jnp.any(codes >= PAD_CODE, axis=1)
-    scores = jnp.where(is_pad[:, None], jnp.int32(-1), scores)
-    m_idx = jnp.broadcast_to(
-        jnp.arange(scores.shape[1], dtype=jnp.int32)[None, :], scores.shape
-    )
-    valid = (scores >= 0).astype(jnp.int32)
-    hist = jnp.zeros((hist_size, scores.shape[1]), jnp.int32)
-    hist = hist.at[jnp.clip(scores, 0, hist_size - 1), m_idx].add(valid)
-    return scores, hist
 
 
 def sharded_scan_step(mesh: Mesh, hist_size: int):
@@ -85,7 +59,9 @@ def sharded_scan_step(mesh: Mesh, hist_size: int):
     """
 
     def _step(codes, pwm_flat, min_scores, cutoffs):
-        scores, hist = _score_core(codes, pwm_flat, min_scores, hist_size)
+        # the exact core shared with ops/score_jax.score_and_histogram —
+        # one source of truth for the scoring math
+        scores, hist = score_hist_core(codes, pwm_flat, min_scores, hist_size)
         hist = jax.lax.psum(hist, "data")
         hits = jnp.sum(
             ((scores >= cutoffs[None, :]) & (scores >= 0)).astype(jnp.int32),

@@ -15,6 +15,7 @@ This is the fast path behind ``findmotif``; the per-window engine
 (``scan.py``) remains as the semantic reference and TSV-compat path.
 """
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -246,7 +247,17 @@ def save_batches(
         arrays[f"b{bi}_nbits"] = b.nbits
         arrays[f"b{bi}_vbits"] = b.vbits
         arrays[f"b{bi}_meta"] = meta
-    np.savez_compressed(path, **arrays)
+    # write-then-rename: a Ctrl-C / crash mid-write never leaves a
+    # truncated checkpoint behind for the next run to trip over
+    tmp = f"{path}.tmp"
+    try:
+        with open(tmp, "wb") as fh:  # file object: savez can't append .npz
+            np.savez_compressed(fh, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
 
 
 def load_batches(path: str) -> Tuple[List[DeviceBatch], List[str]]:

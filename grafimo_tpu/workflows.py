@@ -147,11 +147,29 @@ def _display_chrom(workflow: Findmotif, chrom: str) -> str:
     return c
 
 
+def _xg_conversion_error(path: str) -> GraphError:
+    """Actionable error for vg's own index artifacts: the reference scans
+    ``.xg``/``.vg`` directly through the vg binary (``vg find -x``,
+    ``extract_regions.py:180``, ``workflow.py:629``); this framework
+    consumes their one-time GFA export instead."""
+    stem = os.path.splitext(path)[0]
+    return GraphError(
+        f"{path} is a vg index artifact, which this framework does not "
+        f"read directly. Export it once to GFA with\n\n"
+        f"    vg view -g {path} > {stem}.gfa\n\n"
+        f"(a {os.path.basename(stem)}.gbwt sidecar next to the GFA is "
+        f"imported natively for the haplotype panel) and re-run against "
+        f"the .gfa."
+    )
+
+
 def load_graph_file(path: str) -> SiteGraph:
     """Load a variation graph: native ``.gvt.npz`` or a vg-exported
     ``.gfa`` (``vg view -g``), see ``graph/gfa.py``.  A ``.gbwt`` sidecar
     next to a W-line-less GFA supplies the haplotype panel
     (``graph/gbwt.py``)."""
+    if path.endswith((".xg", ".vg")):
+        raise _xg_conversion_error(path)
     if path.endswith(".gfa"):
         from grafimo_tpu.graph.gfa import gfa_to_sitegraph
 
@@ -189,6 +207,10 @@ def _load_graphs(
             continue
         path = _resolve_graph_path(workflow, chrom)
         if not os.path.isfile(path):
+            stem = path[: -len(GVT_SUFFIX)]
+            for ext in (".xg", ".vg"):
+                if os.path.isfile(stem + ext):
+                    raise _xg_conversion_error(stem + ext)
             raise GraphError(
                 f"unable to locate {path} — are your graphs named with "
                 f'"chr"? Consider --chroms-prefix-find or '
