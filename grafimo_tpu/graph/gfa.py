@@ -72,8 +72,17 @@ def parse_gfa(path: str):
     return segments, links, paths, walks
 
 
+def _warn(msg: str) -> None:
+    import sys
+
+    sys.stderr.write(f"\033[33mWARNING: {msg}\033[0m\n")
+
+
 def gfa_to_sitegraph(
-    path: str, chrom: Optional[str] = None, gbwt: Optional[str] = None
+    path: str,
+    chrom: Optional[str] = None,
+    gbwt: Optional[str] = None,
+    strict: bool = False,
 ) -> SiteGraph:
     """Import a vg-style GFA as a :class:`SiteGraph`.
 
@@ -85,6 +94,14 @@ def gfa_to_sitegraph(
     load_graph_file`) supplies the haplotype walks instead
     (``graph/gbwt.py``; reference keeps haplotypes in exactly such a
     GBWT, ``constructVG.py:327-340``).
+
+    Degradation policy: structure this importer cannot flatten into site
+    alleles (cyclic/dead-end/over-budget snarls, backward links,
+    unreachable segments) is LOCAL to one variant site — by default the
+    offending site is skipped with a warning and the rest of the
+    chromosome imports, mirroring the failed-region warn-and-continue of
+    the scan itself (reference ``extract_regions.py:328-331``).
+    ``strict=True`` restores hard errors.
     """
     segments, links, paths, walks = parse_gfa(path)
     if not walks and gbwt:
@@ -125,7 +142,16 @@ def gfa_to_sitegraph(
     preds: Dict[str, List[str]] = {}
     for u, uo, v, vo in links:
         if uo != "+" or vo != "+":
-            raise GraphError("reverse-oriented links are not supported")
+            if strict:
+                raise GraphError(
+                    "reverse-oriented links are not supported"
+                )
+            _warn(
+                f"{path}: skipping reverse-oriented link {u}{uo} -> "
+                f"{v}{vo} (inversions are not representable as site "
+                f"alleles)"
+            )
+            continue
         succs.setdefault(u, []).append(v)
         preds.setdefault(v, []).append(u)
 
@@ -148,11 +174,28 @@ def gfa_to_sitegraph(
 
     MAX_SNARL_PATHS = 4096
     covered: Set[str] = set()
-    for left in ref_nodes:
-        off_starts = [s for s in succs.get(left, []) if s not in ref_set]
-        if not off_starts:
-            continue
-        emitted = 0
+    tolerated: Set[str] = set()  # off-path nodes of skipped snarls
+
+    def _off_reachable(starts: List[str]) -> Set[str]:
+        """All off-path nodes reachable from a snarl's entry points
+        (bounded BFS; cycles terminate via the visited set)."""
+        seen: Set[str] = set()
+        frontier = [s for s in starts if s not in ref_set]
+        while frontier:
+            cur = frontier.pop()
+            if cur in seen:
+                continue
+            seen.add(cur)
+            frontier.extend(
+                t for t in succs.get(cur, []) if t not in ref_set
+            )
+        return seen
+
+    def _flatten_snarl(left: str, off_starts: List[str]):
+        """All simple paths from ``left`` through off-path nodes to the
+        backbone, as (span, allele, chain) triples; raises GraphError on
+        structure it cannot flatten."""
+        local: List[Tuple[Tuple[int, int], str, Tuple[str, ...]]] = []
         pushes = 0
         # iterative DFS over simple paths through off-path nodes
         stack: List[List[str]] = [[s] for s in reversed(off_starts)]
@@ -179,39 +222,70 @@ def gfa_to_sitegraph(
                         raise GraphError(
                             f"backward off-path reattachment at {t}"
                         )
-                    emitted += 1
-                    if emitted > MAX_SNARL_PATHS:
+                    if len(local) >= MAX_SNARL_PATHS:
                         raise GraphError(
                             f"snarl at {left} exceeds {MAX_SNARL_PATHS} "
                             "paths; graph is too tangled to flatten into "
                             "site alleles"
                         )
-                    covered.update(chain)
-                    add_allele(
+                    local.append((
                         (end_of[left], start_of[t]),
                         "".join(segments[c] for c in chain),
                         tuple(chain),
-                    )
+                    ))
                 elif t in chain:
                     raise GraphError(
                         f"cyclic off-path structure at segment {t}"
                     )
                 else:
                     stack.append(chain + [t])
+        return local
+
+    for left in ref_nodes:
+        off_starts = [s for s in succs.get(left, []) if s not in ref_set]
+        if not off_starts:
+            continue
+        try:
+            local = _flatten_snarl(left, off_starts)
+        except GraphError as e:
+            if strict:
+                raise
+            _warn(
+                f"{path}: skipping variant site at segment {left} "
+                f"(~ref coord {end_of[left]}): {e}"
+            )
+            tolerated |= _off_reachable(off_starts)
+            continue
+        for span, allele, chain in local:
+            covered.update(chain)
+            add_allele(span, allele, chain)
     orphans = [
-        n for n in segments if n not in ref_set and n not in covered
+        n
+        for n in segments
+        if n not in ref_set and n not in covered and n not in tolerated
     ]
     if orphans:
-        raise GraphError(
+        msg = (
             f"segments unreachable from the reference path: "
             f"{sorted(orphans)[:5]}"
+            f"{' ...' if len(orphans) > 5 else ''} "
+            f"({len(orphans)} total; their variants will not be scanned)"
         )
+        if strict:
+            raise GraphError(msg)
+        _warn(f"{path}: {msg}")
 
     # deletion edges: backbone links skipping ref nodes
     for u, uo, v, vo in links:
         if u in ref_set and v in ref_set and ref_next.get(u) != v:
             if start_of[v] <= end_of[u]:
-                raise GraphError("backward reference link")
+                if strict:
+                    raise GraphError("backward reference link")
+                _warn(
+                    f"{path}: skipping backward reference link "
+                    f"{u} -> {v}"
+                )
+                continue
             add_allele((end_of[u], start_of[v]), "", ())
 
     # synthesise VCF-style records (anchor-base convention; build_graph
@@ -221,8 +295,12 @@ def gfa_to_sitegraph(
     allele_lists: List[List[str]] = []
     for (s, e), alleles in sorted(site_alleles.items()):
         if s == 0:
-            raise GraphError("variant at contig start is not representable "
-                            "with an anchor base")
+            msg = ("variant at contig start is not representable "
+                   "with an anchor base")
+            if strict:
+                raise GraphError(msg)
+            _warn(f"{path}: skipping site at coord 0: {msg}")
+            continue
         anchor = seq[s - 1]
         ref_allele = anchor + seq[s:e]
         alts = [anchor + a for a, _ in alleles]

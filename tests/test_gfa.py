@@ -160,7 +160,7 @@ def test_nested_bubble_walk_haplotypes(tmp_path):
     assert carriers("CT") == 0b010
 
 
-def test_gfa_import_rejects_cycles_and_dead_ends(tmp_path):
+def test_gfa_import_rejects_cycles_and_dead_ends_strict(tmp_path):
     cyc = tmp_path / "cyc.gfa"
     cyc.write_text(
         "S\t1\tAAAA\nS\t2\tC\nS\t3\tG\nS\t4\tCCCC\n"
@@ -169,7 +169,7 @@ def test_gfa_import_rejects_cycles_and_dead_ends(tmp_path):
         "P\tz\t1+,4+\t*\n"
     )
     with pytest.raises(GraphError):
-        gfa_to_sitegraph(str(cyc))
+        gfa_to_sitegraph(str(cyc), strict=True)
     dead = tmp_path / "dead.gfa"
     dead.write_text(
         "S\t1\tAAAA\nS\t2\tC\nS\t3\tCCCC\n"
@@ -177,4 +177,135 @@ def test_gfa_import_rejects_cycles_and_dead_ends(tmp_path):
         "P\tz\t1+,3+\t*\n"
     )
     with pytest.raises(GraphError):
-        gfa_to_sitegraph(str(dead))
+        gfa_to_sitegraph(str(dead), strict=True)
+
+
+def test_gfa_unflattenable_snarl_degrades_per_site(tmp_path, capsys):
+    """A cyclic snarl is skipped with a warning — the OTHER variant site
+    on the chromosome still imports (per-region warn-and-continue, like
+    failed scan regions)."""
+    gfa = tmp_path / "mixed.gfa"
+    gfa.write_text(
+        "S\t1\tAAAA\nS\t2\tC\nS\t3\tG\nS\t4\tCCCC\nS\t5\tT\nS\t6\tGGGG\n"
+        # snarl 1 (cyclic: 2 <-> 3) between backbone 1 and 4
+        "L\t1\t+\t2\t+\t0M\nL\t2\t+\t3\t+\t0M\nL\t3\t+\t2\t+\t0M\n"
+        "L\t3\t+\t4\t+\t0M\nL\t1\t+\t4\t+\t0M\n"
+        # snarl 2 (clean insertion of T) between backbone 4 and 6
+        "L\t4\t+\t5\t+\t0M\nL\t5\t+\t6\t+\t0M\nL\t4\t+\t6\t+\t0M\n"
+        "P\tz\t1+,4+,6+\t*\n"
+    )
+    g = gfa_to_sitegraph(str(gfa))
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "skipping variant site" in err
+    assert g.seq == "AAAACCCCGGGG"
+    assert len(g.sites) == 1  # the clean insertion survived
+    assert g.sites[0].alleles[1:] == ["T"]
+
+
+def _spell_all_paths(segments, succs, start, end):
+    """Brute-force: every start->end path's concatenated sequence."""
+    out = []
+    stack = [(start, segments[start])]
+    while stack:
+        node, s = stack.pop()
+        if node == end:
+            out.append(s)
+            continue
+        for t in succs.get(node, []):
+            stack.append((t, s + segments[t]))
+    return sorted(out)
+
+
+def _sitegraph_strings(g):
+    """Every sequence the SiteGraph spells (all site-allele combos)."""
+    import itertools
+
+    spans = [(s.ref_start, s.ref_end, s.alleles) for s in g.sites]
+    spans.sort()
+    outs = []
+    for combo in itertools.product(*(a for _s, _e, a in spans)):
+        parts, pos = [], 0
+        for (s, e, _a), allele in zip(spans, combo):
+            parts.append(g.seq[pos:s])
+            parts.append(allele)
+            pos = e
+        parts.append(g.seq[pos:])
+        outs.append("".join(parts))
+    return sorted(set(outs))
+
+
+def test_gfa_fuzz_braided_snarls(tmp_path):
+    """Randomized braided/nested snarls (layered DAGs between backbone
+    anchors): the imported SiteGraph must spell EXACTLY the set of
+    sequences the GFA spells (brute-force path oracle)."""
+    rng = np.random.default_rng(123)
+    bases = "ACGT"
+
+    for trial in range(25):
+        segments = {}
+        links = []
+        succs = {}
+
+        def seg(seq):
+            sid = str(len(segments) + 1)
+            segments[sid] = seq
+            return sid
+
+        def link(u, v):
+            links.append((u, v))
+            succs.setdefault(u, []).append(v)
+
+        def rand_seq(lo, hi):
+            return "".join(
+                rng.choice(list(bases))
+                for _ in range(int(rng.integers(lo, hi + 1)))
+            )
+
+        n_sites = int(rng.integers(1, 4))
+        backbone = [seg(rand_seq(4, 8)) for _ in range(n_sites + 1)]
+        for i in range(n_sites):
+            left, right = backbone[i], backbone[i + 1]
+            link(left, right)  # ref side always present
+            # braided snarl: 1-3 layers, 1-2 nodes each, dense edges
+            layers = [
+                [seg(rand_seq(1, 3)) for _ in range(int(rng.integers(1, 3)))]
+                for _ in range(int(rng.integers(1, 4)))
+            ]
+            prev = [left]
+            for layer in layers:
+                for v in layer:
+                    # every layer node gets >= 1 predecessor
+                    for u in rng.choice(
+                        prev, size=int(rng.integers(1, len(prev) + 1)),
+                        replace=False,
+                    ):
+                        link(u, v)
+                prev = layer
+            for u in prev:
+                link(u, right)
+            # extra skip edges forward across layers (braiding)
+            flat = [n for layer in layers for n in layer]
+            for _ in range(int(rng.integers(0, 3))):
+                a, b = rng.integers(0, len(flat), 2)
+                if a < b and flat[b] not in succs.get(flat[a], []):
+                    link(flat[a], flat[b])
+            # no dead ends: an unchosen mid-layer node exits to `right`
+            for n in flat:
+                if n not in succs:
+                    link(n, right)
+
+        gfa = tmp_path / f"fuzz{trial}.gfa"
+        lines = ["H\tVN:Z:1.0"]
+        lines += [f"S\t{sid}\t{s}" for sid, s in segments.items()]
+        lines += [f"L\t{u}\t+\t{v}\t+\t0M" for u, v in links]
+        lines.append(
+            "P\tz\t" + ",".join(f"{n}+" for n in backbone) + "\t*"
+        )
+        gfa.write_text("\n".join(lines) + "\n")
+
+        g = gfa_to_sitegraph(str(gfa), strict=True)
+        want = _spell_all_paths(
+            segments, succs, backbone[0], backbone[-1]
+        )
+        got = _sitegraph_strings(g)
+        assert got == sorted(set(want)), f"trial {trial} diverged"
