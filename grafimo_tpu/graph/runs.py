@@ -37,6 +37,10 @@ import numpy as np
 from grafimo_tpu.graph.sitegraph import Site, SiteGraph
 
 MAX_COMBOS_PER_CLUSTER = 1 << 14
+# (cluster_idx, combo_idx) hit identities ride int32 metadata; clusters
+# whose full combination count cannot index in int32 take the per-window
+# fallback instead
+COMBO_IDX_MAX = (1 << 31) - 1
 
 
 @dataclass
@@ -114,13 +118,12 @@ def cluster_sites(
 
 
 def _combinations(cluster: Sequence[Site]) -> Iterator[List[int]]:
-    n = 1
-    for s in cluster:
-        n *= len(s.alleles)
-    if n > MAX_COMBOS_PER_CLUSTER:
-        raise OverflowError(
-            f"cluster of {len(cluster)} sites has {n} allele combinations"
-        )
+    """FULL mixed-radix combination enumeration (last site fastest).
+
+    Test oracle only: production enumeration is
+    :func:`candidate_combos`, which skips combinations that provably
+    yield no valid window.  Kept because the differential test asserts
+    both produce the same run set."""
     combo = [0] * len(cluster)
     while True:
         yield list(combo)
@@ -133,6 +136,84 @@ def _combinations(cluster: Sequence[Site]) -> Iterator[List[int]]:
             i -= 1
         if i < 0:
             return
+
+
+def candidate_combos(
+    cluster: Sequence[Site], k: int
+) -> List[Tuple[int, List[int]]]:
+    """Combinations that can yield >= 1 valid window, as ``(combo_idx,
+    combo)`` sorted by mixed-radix index.
+
+    A window is valid in a combination only when it overlaps the
+    determined interval of EVERY non-reference choice
+    (``_build_cluster_run``'s canonical-assignment rule) — so only
+    combinations whose non-reference sites share a common window can
+    contribute, and every other site must be reference.  Enumerating
+    non-ref supports by DFS with interval-intersection pruning makes
+    cluster cost proportional to the (tiny) number of contributing
+    combinations instead of ``prod(n_alleles)`` — a 17-SNP chain at
+    1KGP densities is 2^17 full combinations but only ~dozens of
+    candidates.  The full-enumeration oracle is differentially tested
+    (``test_runs_differential.py``).
+
+    Raises OverflowError when the FULL combination count does not fit
+    the int32 combo-idx identity or the candidate count exceeds
+    ``MAX_COMBOS_PER_CLUSTER`` (window-dense clusters) — callers take
+    the exact per-window fallback.
+    """
+    n = len(cluster)
+    weights = [1] * n
+    w = 1
+    for i in range(n - 1, -1, -1):
+        weights[i] = w
+        w *= len(cluster[i].alleles)
+        if w > COMBO_IDX_MAX:
+            raise OverflowError(
+                f"cluster of {n} sites has {w}+ allele combinations"
+            )
+    flank_l = max(0, cluster[0].ref_start - (k - 1))
+    # all-reference path offset of each site's allele region; ref alleles
+    # span the site exactly, so prefix deltas come only from chosen alts
+    base = [0] * n
+    rd = 0
+    for i, s in enumerate(cluster):
+        base[i] = s.ref_start - flank_l + rd
+        rd += len(s.alleles[0]) - (s.ref_end - s.ref_start)
+    out: List[Tuple[int, List[int]]] = [(0, [0] * n)]
+
+    def extend(start_i, ilo, ihi, delta, idx, combo):
+        for i in range(start_i, n):
+            s = cluster[i]
+            lo = base[i] + delta - k + 1
+            if lo > ihi:
+                break  # later sites start even further right
+            span_d = base[i] + delta  # allele region start in run coords
+            for a in range(1, len(s.alleles)):
+                alen = len(s.alleles[a])
+                hi = span_d - 1 if alen == 0 else span_d + alen - 1
+                nlo = max(ilo, lo)
+                nhi = min(ihi, hi)
+                if nlo > nhi:
+                    continue
+                combo[i] = a
+                nidx = idx + a * weights[i]
+                out.append((nidx, list(combo)))
+                if len(out) > MAX_COMBOS_PER_CLUSTER:
+                    raise OverflowError(
+                        f"cluster of {n} sites exceeds "
+                        f"{MAX_COMBOS_PER_CLUSTER} contributing "
+                        "combinations"
+                    )
+                extend(
+                    i + 1, nlo, nhi,
+                    delta + alen - len(s.alleles[0]), nidx, combo,
+                )
+                combo[i] = 0
+
+    big = 1 << 62
+    extend(0, -big, big, 0, 0, [0] * n)
+    out.sort(key=lambda t: t[0])
+    return out
 
 
 def _build_cluster_run(
@@ -346,7 +427,7 @@ def region_runs(
     n_fallback = 0
     for c_idx, cluster in enumerate(clusters):
         try:
-            for x_idx, combo in enumerate(_combinations(cluster)):
+            for x_idx, combo in candidate_combos(cluster, k):
                 r = _build_cluster_run(
                     graph, cluster, combo, region_start, region_end, k
                 )

@@ -100,9 +100,13 @@ def _lib() -> ctypes.CDLL:
             lib.gt_batch_regions.argtypes = [
                 u8p, c.c_int64, c.c_int64, i64p, i64p, i64p, i32p,
                 i64p, i64p, u8p, i64p, i64p, c.c_int64, c.c_int64,
-                i64p, i64p, c.c_int64, c.c_int64, c.c_int64, i32p, i32p,
+                i64p, i64p, c.c_int64, c.c_int64, c.c_int64,
             ]
             lib.gt_batch_regions.restype = c.c_void_p
+            lib.gt_batch_n_overflows.argtypes = [c.c_void_p]
+            lib.gt_batch_n_overflows.restype = c.c_int64
+            lib.gt_batch_overflows.argtypes = [c.c_void_p, i32p]
+            lib.gt_batch_overflows.restype = None
             lib.gt_batch_rows.argtypes = [c.c_void_p, i64p, i64p]
             lib.gt_batch_rows.restype = None
             lib.gt_batch_export.argtypes = [
@@ -184,7 +188,9 @@ def _flatten_graph(graph):
 
 
 def build_region_runs_native(graph, region_start, region_end, k,
-                             max_combos=1 << 16):
+                             max_combos=1 << 14):
+    # default == graph.runs.MAX_COMBOS_PER_CLUSTER so the native engine
+    # falls back exactly when the python spec does (differential contract)
     """C++ run builder: returns the region's scan payloads (RunPayload
     list), mirroring ``graph/runs.region_runs`` output order."""
     import ctypes as c
@@ -250,16 +256,19 @@ def build_region_runs_native(graph, region_start, region_end, k,
     return payloads
 
 
-def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
+def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 14,
                          n_threads=0, bucket_slots=None):
     """C++ full batch pipeline: all regions of one graph -> device-ready
     bucketed, bit-packed batches.
 
-    Returns ``(per_bucket, skipped_region_indices)`` where ``per_bucket``
+    Returns ``(per_bucket, overflow_pairs)`` where ``per_bucket``
     maps bucket length R to ``dict(packed, nbits, vbits, meta)`` (meta
     int32 ``(rows, 4)``: region_idx, cluster_idx, combo_idx, chunk_off)
-    and skipped regions (over-dense clusters) must be handled by the
-    python fallback.
+    and ``overflow_pairs`` lists ``(region_idx, cluster_idx)`` of
+    over-dense clusters (candidate-combination cap) whose windows must
+    come from the exact python fallback — every OTHER cluster's runs are
+    already in the buckets (cluster-local degradation, never a whole
+    region).
 
     ``bucket_slots`` (aligned with ``sorted(buckets)``) enables native
     patch-descriptor emission: substitution-only cluster chunks with at
@@ -285,8 +294,6 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
         dtype=np.int64,
     )
     assert slots_arr.size == bucket_arr.size
-    n_skipped = np.zeros(1, dtype=np.int32)
-    skipped_flags = np.zeros(len(regions), dtype=np.int32)
     if n_threads <= 0:
         n_threads = os.cpu_count() or 1
     handle = lib.gt_batch_regions(
@@ -304,8 +311,6 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
         bucket_arr.ctypes.data_as(i64p),
         slots_arr.ctypes.data_as(i64p), c.c_int64(bucket_arr.size),
         c.c_int64(max_combos), c.c_int64(n_threads),
-        skipped_flags.ctypes.data_as(i32p),
-        n_skipped.ctypes.data_as(i32p),
     )
     if not handle:
         raise RuntimeError("gt_batch_regions failed")
@@ -353,9 +358,13 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 16,
                     gstart=gstart, patches=pat, vbits=vbits_p, meta=meta_p
                 )
             per_bucket[int(r_len)] = entry
+        n_ovf = int(lib.gt_batch_n_overflows(handle))
+        overflow = np.empty((n_ovf, 2), dtype=np.int32)
+        if n_ovf:
+            lib.gt_batch_overflows(handle, overflow.ctypes.data_as(i32p))
     finally:
         lib.gt_batch_free(handle)
-    return per_bucket, np.nonzero(skipped_flags)[0].tolist()
+    return per_bucket, [(int(r), int(ci)) for r, ci in overflow]
 
 
 def vcf_parse_gt(sample_block: bytes, n_expected: int):

@@ -16,6 +16,7 @@
 #include <vector>
 #include <algorithm>
 #include <atomic>
+#include <functional>
 #include <thread>
 
 namespace {
@@ -47,7 +48,11 @@ struct RunOut {
 
 struct RunSet {
   std::vector<RunOut> runs;
-  int32_t status = 0;  // 0 ok; 1 combo overflow
+  int32_t status = 0;  // 0 ok; 1 >=1 cluster hit the combination cap
+  // clusters whose candidate enumeration overflowed — the caller runs
+  // the exact per-window fallback for THESE clusters only; all other
+  // clusters' runs are emitted normally (cluster-local degradation)
+  std::vector<int32_t> overflow_clusters;
 };
 
 struct GraphView {
@@ -196,6 +201,78 @@ bool build_backbone_run(const GraphView& g,
   return any;
 }
 
+// Candidate combination enumeration (mirrors runs.candidate_combos —
+// the python spec): a combination can yield a valid window only when the
+// determined intervals of all its non-reference choices intersect, so a
+// DFS over non-ref supports with running interval intersection visits
+// only contributing combos.  Returns false on overflow: full combination
+// count does not fit the int32 combo-idx identity, or the candidate
+// count exceeds max_combos (callers fall back to exact per-window
+// enumeration).  Output is sorted by mixed-radix combo index and always
+// contains the all-reference combo.
+bool enumerate_candidates(
+    const GraphView& g, const std::vector<int>& cl, int64_t k,
+    int64_t max_combos,
+    std::vector<std::pair<int64_t, std::vector<int>>>* out) {
+  const size_t n = cl.size();
+  std::vector<int64_t> weights(n, 1);
+  int64_t w = 1;
+  for (size_t i = n; i-- > 0;) {
+    weights[i] = w;
+    w *= g.sites[cl[i]].n_alleles;
+    // (cluster, combo) hit identities ride int32 metadata — mirrors the
+    // python spec's COMBO_IDX_MAX check; also guards int64 overflow of w
+    if (w > (int64_t)INT32_MAX) return false;
+  }
+  int64_t flank_l = std::max<int64_t>(0, g.sites[cl[0]].start - (k - 1));
+  // all-reference path offset of each site's allele region (ref alleles
+  // span the site exactly, so prefix deltas come only from chosen alts)
+  std::vector<int64_t> base(n);
+  int64_t rd = 0;
+  for (size_t i = 0; i < n; ++i) {
+    const SiteView& s = g.sites[cl[i]];
+    base[i] = s.start - flank_l + rd;
+    rd += g.allele_len[s.allele_off] - (s.end - s.start);
+  }
+  out->clear();
+  out->emplace_back(0, std::vector<int>(n, 0));
+  std::vector<int> combo(n, 0);
+  bool ok = true;
+  // recursion depth is bounded by the non-ref sites sharing one window
+  // (the interval shrinks to < k + max allele length after the first
+  // choice and sites are disjoint), not by cluster length
+  std::function<void(size_t, int64_t, int64_t, int64_t, int64_t)> extend =
+      [&](size_t start_i, int64_t ilo, int64_t ihi, int64_t delta,
+          int64_t idx) {
+        for (size_t i = start_i; i < n && ok; ++i) {
+          const SiteView& s = g.sites[cl[i]];
+          int64_t lo = base[i] + delta - k + 1;
+          if (lo > ihi) break;  // later sites start even further right
+          int64_t span_d = base[i] + delta;
+          for (int a = 1; a < s.n_alleles && ok; ++a) {
+            int64_t alen = g.allele_len[s.allele_off + a];
+            int64_t hi = alen == 0 ? span_d - 1 : span_d + alen - 1;
+            int64_t nlo = std::max(ilo, lo);
+            int64_t nhi = std::min(ihi, hi);
+            if (nlo > nhi) continue;
+            combo[i] = a;
+            int64_t nidx = idx + a * weights[i];
+            out->emplace_back(nidx, combo);
+            if ((int64_t)out->size() > max_combos) { ok = false; break; }
+            extend(i + 1, nlo, nhi,
+                   delta + alen - g.allele_len[s.allele_off], nidx);
+            combo[i] = 0;
+          }
+        }
+      };
+  const int64_t big = int64_t(1) << 62;
+  extend(0, -big, big, 0, 0);
+  if (!ok) return false;
+  std::sort(out->begin(), out->end(),
+            [](const auto& a, const auto& b) { return a.first < b.first; });
+  return true;
+}
+
 RunSet* build_runs_impl(const GraphView& g, int64_t region_start,
                         int64_t region_end, int64_t k, int64_t max_combos) {
   auto* rs = new RunSet();
@@ -227,27 +304,25 @@ RunSet* build_runs_impl(const GraphView& g, int64_t region_start,
     bb.combo_idx = 0;
     rs->runs.push_back(std::move(bb));
   }
+  std::vector<std::pair<int64_t, std::vector<int>>> cands;
   for (size_t ci = 0; ci < clusters.size(); ++ci) {
     const auto& cl = clusters[ci];
-    int64_t n_combos = 1;
-    for (int si : cl) {
-      n_combos *= g.sites[si].n_alleles;
-      if (n_combos > max_combos) { rs->status = 1; return rs; }
+    if (!enumerate_candidates(g, cl, k, max_combos, &cands)) {
+      // over-dense cluster: callers run the exact per-window python
+      // fallback for this cluster (runs._fallback_cluster_windows)
+      rs->status = 1;
+      rs->overflow_clusters.push_back((int32_t)ci);
+      continue;
     }
-    std::vector<int> combo(cl.size(), 0);
-    for (int64_t xi = 0; xi < n_combos; ++xi) {
+    // mixed-radix combo indices, last site fastest (matches
+    // runs.candidate_combos / nth_combination order)
+    for (const auto& [xi, combo] : cands) {
       RunOut out;
       if (build_cluster_run(g, cl, combo, region_start, region_end, k,
                             &out)) {
         out.cluster_idx = (int32_t)ci;
         out.combo_idx = (int32_t)xi;
         rs->runs.push_back(std::move(out));
-      }
-      // mixed-radix increment, last site fastest (matches
-      // runs._combinations / nth_combination)
-      for (int64_t j = (int64_t)cl.size() - 1; j >= 0; --j) {
-        if (++combo[j] < g.sites[cl[j]].n_alleles) break;
-        combo[j] = 0;
       }
     }
   }
@@ -280,7 +355,10 @@ struct BucketBuf {
 struct BatchSet {
   std::vector<BucketBuf> buckets;
   int64_t k = 0;
-  int32_t n_skipped_regions = 0;
+  // flattened (region_idx, cluster_idx) pairs whose candidate
+  // enumeration overflowed; every other cluster's runs ARE in the
+  // buckets — the caller per-window-enumerates only these clusters
+  std::vector<int32_t> overflow_pairs;
 };
 
 void append_chunk(BucketBuf* b, int64_t k, const uint8_t* codes,
@@ -343,7 +421,7 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
                    const int64_t* region_starts, const int64_t* region_ends,
                    int64_t k, const int64_t* bucket_sizes, int64_t n_buckets,
                    int64_t max_combos, std::atomic<int64_t>* next_region,
-                   int64_t n_regions, int32_t* skipped_flags) {
+                   int64_t n_regions) {
   const int64_t stride_base = bucket_sizes[n_buckets - 1] - k + 1;
   auto place_run = [&](const RunOut& r, int32_t region) {
     int64_t L = (int64_t)r.codes.size();
@@ -385,13 +463,9 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
     if (ri >= n_regions) break;
     RunSet* rs = build_runs_impl(g, region_starts[ri], region_ends[ri], k,
                                  max_combos);
-    if (rs->status != 0) {
-      // over-dense cluster: flagged so the caller can run the exact
-      // per-window python fallback for this region
-      bs->n_skipped_regions += 1;
-      skipped_flags[ri] = 1;
-      delete rs;
-      continue;
+    for (int32_t ci : rs->overflow_clusters) {
+      bs->overflow_pairs.push_back((int32_t)ri);
+      bs->overflow_pairs.push_back(ci);
     }
     for (const RunOut& r : rs->runs) place_run(r, (int32_t)ri);
     delete rs;
@@ -403,8 +477,7 @@ BatchSet* batch_regions_impl(const GraphView& g,
                              const int64_t* region_ends, int64_t n_regions,
                              int64_t k, const int64_t* bucket_sizes,
                              const int64_t* bucket_slots, int64_t n_buckets,
-                             int64_t max_combos, int64_t n_threads,
-                             int32_t* skipped_flags) {
+                             int64_t max_combos, int64_t n_threads) {
   n_threads = std::max<int64_t>(1, std::min(n_threads, n_regions));
   std::vector<BatchSet*> partials(n_threads);
   for (auto& p : partials) {
@@ -422,20 +495,21 @@ BatchSet* batch_regions_impl(const GraphView& g,
   if (n_threads == 1) {
     fill_batchset(partials[0], g, region_starts, region_ends, k,
                   bucket_sizes, n_buckets, max_combos, &next_region,
-                  n_regions, skipped_flags);
+                  n_regions);
   } else {
     std::vector<std::thread> workers;
     for (int64_t t = 0; t < n_threads; ++t)
       workers.emplace_back(fill_batchset, partials[t], std::cref(g),
                            region_starts, region_ends, k, bucket_sizes,
-                           n_buckets, max_combos, &next_region, n_regions,
-                           skipped_flags);
+                           n_buckets, max_combos, &next_region, n_regions);
     for (auto& w : workers) w.join();
   }
   BatchSet* bs = partials[0];
   for (int64_t t = 1; t < n_threads; ++t) {
     BatchSet* p = partials[t];
-    bs->n_skipped_regions += p->n_skipped_regions;
+    bs->overflow_pairs.insert(bs->overflow_pairs.end(),
+                              p->overflow_pairs.begin(),
+                              p->overflow_pairs.end());
     for (int64_t i = 0; i < n_buckets; ++i) {
       BucketBuf& dst = bs->buckets[i];
       BucketBuf& src = p->buckets[i];
@@ -474,8 +548,7 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
                        int64_t k, const int64_t* bucket_sizes,
                        const int64_t* bucket_slots,
                        int64_t n_buckets, int64_t max_combos,
-                       int64_t n_threads, int32_t* skipped_flags,
-                       int32_t* n_skipped) {
+                       int64_t n_threads) {
   GraphView g;
   g.seq = seq;
   g.L = L;
@@ -489,9 +562,25 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
   BatchSet* bs =
       batch_regions_impl(g, region_starts, region_ends, n_regions, k,
                          bucket_sizes, bucket_slots, n_buckets, max_combos,
-                         n_threads, skipped_flags);
-  *n_skipped = bs->n_skipped_regions;
+                         n_threads);
   return bs;
+}
+
+int64_t gt_batch_n_overflows(void* h) {
+  return (int64_t)(((BatchSet*)h)->overflow_pairs.size() / 2);
+}
+
+// out: n x 2 int32 (region_idx, cluster_idx), sorted for determinism
+void gt_batch_overflows(void* h, int32_t* out) {
+  BatchSet* bs = (BatchSet*)h;
+  std::vector<std::pair<int32_t, int32_t>> pairs;
+  for (size_t i = 0; i + 1 < bs->overflow_pairs.size(); i += 2)
+    pairs.emplace_back(bs->overflow_pairs[i], bs->overflow_pairs[i + 1]);
+  std::sort(pairs.begin(), pairs.end());
+  for (size_t i = 0; i < pairs.size(); ++i) {
+    out[2 * i] = pairs[i].first;
+    out[2 * i + 1] = pairs[i].second;
+  }
 }
 
 void gt_batch_rows(void* h, int64_t* rows_out, int64_t* rows_p_out) {

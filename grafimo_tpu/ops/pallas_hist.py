@@ -140,6 +140,116 @@ def hist_pallas(
     return jnp.moveaxis(out.reshape(m, n_hi * _LO)[:, :hist_size], 0, 1)
 
 
+_LO2 = 128  # v2 lo-plane width: exactly ONE vreg of lanes
+
+
+def _hist2_kernel(
+    scores_ref, out_ref, *, spill: int, n_hi: int, m: int, tile: int,
+    op_dtype,
+):
+    """v2 one-hot build: the compare/select chains run in the OPERAND
+    dtype's native packed layout (bf16 = (16,128) vregs, 2 cells per
+    32-bit lane; int8 = (32,128), 4 cells per lane) instead of v1's
+    int32 compare -> convert chain, and the lo plane is one vreg wide
+    (128 lanes) instead of two.  Exactness: hi < 256 and lo < 128 are
+    exactly representable in bf16 (8-bit mantissa) and, shifted, in
+    int8; per-tile counts <= tile << 2^24 keep the f32/int32 MXU
+    accumulators integer-exact."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc_t = jnp.int32 if op_dtype == jnp.int8 else jnp.float32
+    for mi in range(m):  # static unroll; m <= MAX_M
+        s = scores_ref[mi, :]  # (tile,) int32
+        s = jnp.where(s < 0, jnp.int32(spill), s)
+        hi = s // _LO2
+        lo = s - hi * _LO2
+        if op_dtype == jnp.int8:
+            # shift into int8 range: hi - 128 in [-128, n_hi-129],
+            # lo - 64 in [-64, 63]; iotas shifted identically
+            hi_n = (hi - 128).astype(jnp.int8)
+            lo_n = (lo - 64).astype(jnp.int8)
+            iota_hi = (
+                jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0) - 128
+            ).astype(jnp.int8)
+            iota_lo = (
+                jax.lax.broadcasted_iota(jnp.int32, (tile, _LO2), 1) - 64
+            ).astype(jnp.int8)
+        else:
+            hi_n = hi.astype(op_dtype)
+            lo_n = lo.astype(op_dtype)
+            iota_hi = jax.lax.broadcasted_iota(
+                op_dtype, (n_hi, tile), 0
+            )
+            iota_lo = jax.lax.broadcasted_iota(
+                op_dtype, (tile, _LO2), 1
+            )
+        one = jnp.ones((), op_dtype)
+        zero = jnp.zeros((), op_dtype)
+        oh_hiT = jnp.where(hi_n[None, :] == iota_hi, one, zero)
+        oh_lo = jnp.where(lo_n[:, None] == iota_lo, one, zero)
+        counts = jax.lax.dot_general(
+            oh_hiT,
+            oh_lo,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t,
+        ).astype(jnp.int32)  # (n_hi, 128)
+        out_ref[mi] += counts
+
+
+@partial(
+    jax.jit, static_argnames=("hist_size", "interpret", "use_int8")
+)
+def hist_pallas2(
+    scores: jnp.ndarray,
+    hist_size: int,
+    interpret: bool = False,
+    use_int8: bool = False,
+) -> jnp.ndarray:
+    """v2 of :func:`hist_pallas` — same contract, lo=128 radix +
+    dtype-native one-hot build (see ``_hist2_kernel``)."""
+    b, noff, m = scores.shape
+    assert m <= MAX_M, "JASPAR-scale column counts keep the XLA path"
+    n = b * noff
+    n_hi = (hist_size + _LO2 - 1) // _LO2 + 1  # + spill row for invalid
+    assert n_hi <= 256, (  # bf16/int8 exactness bound: k <= 32
+        "hist_size too large for the v2 dtype-native one-hot build"
+    )
+    spill = (n_hi - 1) * _LO2
+    tile = _tile_n(m)
+    cols = jnp.moveaxis(scores.reshape(n, m), 0, 1)  # (M, N)
+    pad = (-n) % tile
+    if pad:
+        cols = jnp.pad(cols, ((0, 0), (0, pad)), constant_values=-1)
+    n_tiles = cols.shape[1] // tile
+    out = pl.pallas_call(
+        partial(
+            _hist2_kernel,
+            spill=spill,
+            n_hi=n_hi,
+            m=m,
+            tile=tile,
+            op_dtype=jnp.int8 if use_int8 else jnp.bfloat16,
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n_hi, _LO2), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (m, tile), lambda j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (m, n_hi, _LO2), lambda j: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(cols)
+    return jnp.moveaxis(out.reshape(m, n_hi * _LO2)[:, :hist_size], 0, 1)
+
+
 def hist_pallas_reference(scores: np.ndarray, hist_size: int) -> np.ndarray:
     """Host oracle: per-column ``np.bincount`` over the valid scores."""
     b, noff, m = scores.shape

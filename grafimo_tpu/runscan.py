@@ -17,7 +17,7 @@ This is the fast path behind ``findmotif``; the per-window engine
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -25,6 +25,7 @@ import pandas as pd
 
 from grafimo_tpu.graph.runs import (
     Run,
+    _fallback_cluster_windows,
     build_single_run,
     cluster_sites,
     nth_combination,
@@ -334,7 +335,7 @@ def batch_runs(
         ]
         for group in groups.values():
             try:
-                per_bucket_native, skipped_idx = fn(
+                per_bucket_native, overflow_pairs = fn(
                     group[0].graph,
                     [(rr.start, rr.stop) for rr in group],
                     k,
@@ -342,15 +343,32 @@ def batch_runs(
                     n_threads=threads,
                     bucket_slots=bucket_slots,
                 )
-                for ri in skipped_idx:
-                    # over-dense cluster: the python builder handles the
-                    # region exactly (per-window fallback, graph/runs.py)
+                # over-dense clusters (candidate-combination cap): exact
+                # per-window python fallback for THOSE clusters only; the
+                # region's other runs are already in the native buckets.
+                # Fallback payloads ride a shim RegionRuns sharing the
+                # original's key and run cache so hit reconstruction
+                # resolves (-2, i) refs through the same region.
+                n_fb: Dict[int, int] = {}
+                clusters_of: Dict[int, list] = {}
+                for ri, ci in overflow_pairs:
                     rr = group[ri]
-                    rr.payloads = []
-                    for run in region_runs(rr.graph, rr.start, rr.stop, k):
-                        rr.payloads.append(_payload_from_run(run))
+                    if ri not in clusters_of:
+                        clusters_of[ri] = cluster_sites(
+                            rr.graph, rr.start, rr.stop, k
+                        )
+                    fb_payloads = []
+                    for run in _fallback_cluster_windows(
+                        rr.graph, clusters_of[ri][ci], rr.start, rr.stop, k
+                    ):
+                        run.ref = (-2, n_fb.setdefault(ri, 0))
+                        n_fb[ri] += 1
                         rr._run_cache[run.ref] = run
-                    python_rrs.append(rr)
+                        fb_payloads.append(_payload_from_run(run))
+                    if fb_payloads:
+                        python_rrs.append(
+                            dc_replace(rr, payloads=fb_payloads)
+                        )
                 region_lo = np.array(
                     [max(0, rr.start) for rr in group], dtype=np.int64
                 )

@@ -20,8 +20,10 @@ def dense_graph():
     rng = np.random.default_rng(42)
     seq = "".join(rng.choice(list("ACGT"), 100))
     records = []
-    # 16 adjacent SNPs: 2^16 combinations > the 2^14 cluster cap
-    for pos0 in range(40, 56):
+    # 34 adjacent SNPs: 2^34 full combinations overflow the int32
+    # (cluster, combo) hit identity, forcing the per-window fallback even
+    # though the candidate DFS could enumerate the contributing combos
+    for pos0 in range(30, 64):
         ref = seq[pos0]
         alt = {"A": "C", "C": "G", "G": "T", "T": "A"}[ref]
         gt = [int(rng.random() < 0.5) for _ in range(4)]
@@ -31,7 +33,7 @@ def dense_graph():
 
 def test_fallback_windows_match_enumerator(dense_graph):
     k = 6
-    assert 2 ** 16 > MAX_COMBOS_PER_CLUSTER
+    assert 2 ** 34 > MAX_COMBOS_PER_CLUSTER
     runs = region_runs(dense_graph, 0, 100, k)
     # fallback single-window runs present
     assert any(r.ref[0] == -2 for r in runs)
@@ -46,9 +48,35 @@ def test_fallback_windows_match_enumerator(dense_graph):
     assert got == want
 
 
+def test_native_batcher_cluster_local_overflow(dense_graph):
+    """The native batcher must emit the healthy clusters' runs and report
+    ONLY the over-dense cluster — never skip the whole region."""
+    native = pytest.importorskip("grafimo_tpu.native")
+    try:
+        native._lib()
+    except Exception as e:  # pragma: no cover - env without g++
+        pytest.skip(f"native engine unavailable: {e}")
+    from grafimo_tpu.graph.runs import cluster_sites
+
+    k = 6
+    clusters = cluster_sites(dense_graph, 0, 100, k)
+    # the fixture graph has exactly one (over-dense) cluster; add context:
+    # region also has backbone windows, which must land in the buckets
+    per_bucket, overflow = native.batch_regions_native(
+        dense_graph, [(0, 100)], k, buckets=(128,)
+    )
+    assert overflow == [(0, ci) for ci in range(len(clusters))]
+    rows = sum(
+        len(d.get("meta", ())) + len(d.get("patched", {}).get("meta", ()))
+        for d in per_bucket.values()
+    )
+    assert rows >= 1, "backbone run must still be emitted"
+
+
 def test_fallback_through_scan_engine(dense_graph, input_dir):
-    """The full run-scan engine (python payload path, since the native
-    batcher flags the region) must match the per-window engine."""
+    """The full run-scan engine (native batcher reporting the over-dense
+    cluster, python enumerating just its windows) must match the
+    per-window engine."""
     from grafimo_tpu.graph.extract import extract_region
     from grafimo_tpu.models.parse import load_motifs
     from grafimo_tpu.runscan import build_region_runs, compute_results_runs

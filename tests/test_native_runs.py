@@ -50,6 +50,15 @@ def test_native_random_graphs(seed):
         assert_native_matches(graph, rs, re_, k)
 
 
+def test_native_dense_snp_chain():
+    """2^17-combination SNP chain: the native candidate DFS must emit the
+    identical run set as the python spec (no region-level fallback)."""
+    from tests.test_runs_differential import _dense_snp_graph
+
+    graph = _dense_snp_graph()
+    assert_native_matches(graph, 0, 220, 10)
+
+
 def test_native_runs_through_scan(input_dir):
     """End-to-end: the run-scan engine with native payloads must equal the
     python-payload result."""

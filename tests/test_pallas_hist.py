@@ -7,6 +7,7 @@ import pytest
 from grafimo_tpu.ops.pallas_hist import (
     _tile_n,
     hist_pallas,
+    hist_pallas2,
     hist_pallas_reference,
 )
 
@@ -36,6 +37,34 @@ def test_hist_pallas_matches_xla_path():
     got = np.asarray(hist_pallas(scores, hist_size, interpret=True))
     want = np.asarray(_exact_hist(jnp.asarray(scores), hist_size))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("use_int8", [False, True])
+def test_hist_pallas2_matches_bincount(use_int8):
+    """v2 (lo=128 radix, dtype-native one-hot build) is bit-identical to
+    the host oracle across the full k=19 score range incl. invalids."""
+    rng = np.random.default_rng(11)
+    hist_size = 19 * 1000 + 1
+    scores = rng.integers(-1, hist_size, (41, 107, 2)).astype(np.int32)
+    got = np.asarray(
+        hist_pallas2(scores, hist_size, interpret=True, use_int8=use_int8)
+    )
+    want = hist_pallas_reference(scores, hist_size)
+    assert got.shape == (hist_size, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hist_pallas2_edges_and_multitile():
+    """Bin 0, the last bin, the spill row and multi-tile accumulation."""
+    rng = np.random.default_rng(13)
+    hist_size = 32 * 1000 + 1  # k=32: the v2 exactness bound (n_hi=251)
+    n = _tile_n(1) + 55
+    scores = rng.integers(-1, hist_size, (1, n, 1)).astype(np.int32)
+    scores[0, :4, 0] = [0, hist_size - 1, -1, 127]
+    got = np.asarray(hist_pallas2(scores, hist_size, interpret=True))
+    want = hist_pallas_reference(scores, hist_size)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() == (scores >= 0).sum()
 
 
 def test_hist_pallas_exact_multitile():

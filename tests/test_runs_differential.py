@@ -89,6 +89,66 @@ def test_random_graph_runs_match_enumerator(seed):
         assert_same_windows(graph, rs, re_, k)
 
 
+def _dense_snp_graph(n_snp=17, step=3, length=220, start=50):
+    """A SNP chain whose FULL combination count (2^n_snp) is far beyond
+    MAX_COMBOS_PER_CLUSTER — only the candidate DFS can enumerate it."""
+    rng = np.random.default_rng(99)
+    seq = "".join(rng.choice(list("ACGT"), length))
+    records = []
+    for i in range(n_snp):
+        pos0 = start + i * step
+        ref1 = seq[pos0]
+        alt = rng.choice([c for c in "ACGT" if c != ref1])
+        records.append(
+            VcfRecord(
+                chrom="r", pos=pos0 + 1, ref=ref1, alts=[alt],
+                gt=[int(rng.integers(0, 2)) for _ in range(6)],
+            )
+        )
+    return build_graph("r", seq, records)
+
+
+def test_candidate_combos_equals_filtered_full_enumeration():
+    """The candidate DFS yields exactly the (idx, combo) pairs of the
+    full mixed-radix enumeration that produce a run, in index order."""
+    from grafimo_tpu.graph.runs import (
+        _build_cluster_run,
+        _combinations,
+        candidate_combos,
+        cluster_sites,
+        nth_combination,
+    )
+
+    rng = np.random.default_rng(3)
+    graph = _random_graph(rng, length=300, n_var=14)
+    k = 11
+    for cluster in cluster_sites(graph, 0, 300, k):
+        cands = candidate_combos(cluster, k)
+        idxs = [i for i, _ in cands]
+        assert idxs == sorted(set(idxs)), "sorted, duplicate-free"
+        for i, combo in cands:
+            assert nth_combination(cluster, i) == combo
+        cand_set = {tuple(c) for _, c in cands}
+        for x_idx, combo in enumerate(_combinations(cluster)):
+            r = _build_cluster_run(graph, cluster, combo, 0, 300, k)
+            if r is not None:
+                assert tuple(combo) in cand_set, (
+                    f"pruned a contributing combo {combo}"
+                )
+
+
+def test_dense_snp_chain_runs_match_enumerator():
+    """2^17 full combinations; the candidate DFS keeps region_runs exact
+    and sub-second where the old full enumeration hit the fallback cap."""
+    graph = _dense_snp_graph()
+    k = 10
+    runs = region_runs(graph, 0, 220, k)
+    assert all(r.ref[0] != -2 for r in runs), (
+        "dense SNP chain must not need the per-window fallback"
+    )
+    assert_same_windows(graph, 0, 220, k)
+
+
 def test_run_compression_ratio(input_dir):
     """Runs must carry far fewer bytes than materialised windows."""
     seqs = read_fasta(str(input_dir / "test.fa"))
