@@ -162,39 +162,44 @@ def _hist2_kernel(
         out_ref[:] = jnp.zeros_like(out_ref)
 
     acc_t = jnp.int32 if op_dtype == jnp.int8 else jnp.float32
+    # loop-invariant iotas, converted once (Mosaic hoists across the m
+    # unroll).  Sub-32-bit layouts only ever get MAJOR-dim broadcasts:
+    # minor-dim inserts on i8/bf16 vectors do not lower on TPU.
+    if op_dtype == jnp.int8:
+        # shift into int8 range: hi - 128 in [-128, n_hi-129],
+        # lo - 64 in [-64, 63]; iotas shifted identically
+        iota_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0) - 128
+        ).astype(jnp.int8)
+        iota_loT = (
+            jax.lax.broadcasted_iota(jnp.int32, (_LO2, tile), 0) - 64
+        ).astype(jnp.int8)
+    else:
+        iota_hi = jax.lax.broadcasted_iota(
+            jnp.int32, (n_hi, tile), 0
+        ).astype(op_dtype)
+        iota_loT = jax.lax.broadcasted_iota(
+            jnp.int32, (_LO2, tile), 0
+        ).astype(op_dtype)
+    one = jnp.ones((), op_dtype)
+    zero = jnp.zeros((), op_dtype)
     for mi in range(m):  # static unroll; m <= MAX_M
         s = scores_ref[mi, :]  # (tile,) int32
         s = jnp.where(s < 0, jnp.int32(spill), s)
         hi = s // _LO2
         lo = s - hi * _LO2
         if op_dtype == jnp.int8:
-            # shift into int8 range: hi - 128 in [-128, n_hi-129],
-            # lo - 64 in [-64, 63]; iotas shifted identically
             hi_n = (hi - 128).astype(jnp.int8)
             lo_n = (lo - 64).astype(jnp.int8)
-            iota_hi = (
-                jax.lax.broadcasted_iota(jnp.int32, (n_hi, tile), 0) - 128
-            ).astype(jnp.int8)
-            iota_lo = (
-                jax.lax.broadcasted_iota(jnp.int32, (tile, _LO2), 1) - 64
-            ).astype(jnp.int8)
         else:
             hi_n = hi.astype(op_dtype)
             lo_n = lo.astype(op_dtype)
-            iota_hi = jax.lax.broadcasted_iota(
-                op_dtype, (n_hi, tile), 0
-            )
-            iota_lo = jax.lax.broadcasted_iota(
-                op_dtype, (tile, _LO2), 1
-            )
-        one = jnp.ones((), op_dtype)
-        zero = jnp.zeros((), op_dtype)
         oh_hiT = jnp.where(hi_n[None, :] == iota_hi, one, zero)
-        oh_lo = jnp.where(lo_n[:, None] == iota_lo, one, zero)
+        oh_loT = jnp.where(lo_n[None, :] == iota_loT, one, zero)
         counts = jax.lax.dot_general(
             oh_hiT,
-            oh_lo,
-            (((1,), (0,)), ((), ())),
+            oh_loT,
+            (((1,), (1,)), ((), ())),
             preferred_element_type=acc_t,
         ).astype(jnp.int32)  # (n_hi, 128)
         out_ref[mi] += counts

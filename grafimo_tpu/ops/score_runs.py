@@ -95,54 +95,81 @@ def _shift_select(full: jnp.ndarray, shift: jnp.ndarray, r: int, n: int):
     return jax.lax.select_n(sel, *cases)
 
 
-def _expand_resident(genome4: jnp.ndarray, gstart: jnp.ndarray, r: int):
-    """Device-side window expansion from the HBM-resident packed genome:
-    row i's codes are ``genome[gstart[i] : gstart[i] + r]``.  The genome
-    crosses the host->device link ONCE per scan; each run then costs 4
-    bytes of descriptor instead of ``r/4`` bytes of sequence."""
-    byte0 = gstart // 4
-    shift = gstart % 4
-    nbytes = r // 4 + 1
-    idx = byte0[:, None] + jnp.arange(nbytes, dtype=gstart.dtype)[None, :]
-    idx = jnp.minimum(idx, genome4.shape[0] - 1)  # tail windows are
-    by = jnp.take(genome4, idx, axis=0)  # masked invalid by vbits
-    codes = _unpack2_u8(by)  # (B, r + 4) uint8
-    return _shift_select(codes, shift, r, 4).astype(jnp.int32)
+def bytes_to_words(packed: np.ndarray) -> np.ndarray:
+    """HOST-side reinterpretation of a packed byte plane as int32 words
+    (little-endian: byte ``b`` -> bits ``8b``, so base ``16*w + j`` sits
+    at bits ``2j`` of word ``w``).  The resident planes upload as words:
+    gathering words instead of bytes quarters the gathered element count
+    — measured 2.5x faster expansion on v5e (tools/bench_hist2.py;
+    converting on device instead costs ~6 ms/dispatch in relayouts)."""
+    pad = (-packed.shape[0]) % 4
+    if pad:
+        packed = np.concatenate([packed, np.zeros(pad, np.uint8)])
+    return np.ascontiguousarray(packed).view(np.int32)
 
 
-def _expand_resident_bits(genome1: jnp.ndarray, gstart: jnp.ndarray, r: int):
-    """Same gather for the 1-bit-per-base N plane."""
-    byte0 = gstart // 8
-    shift = gstart % 8
-    nbytes = r // 8 + 1
-    idx = byte0[:, None] + jnp.arange(nbytes, dtype=gstart.dtype)[None, :]
-    idx = jnp.minimum(idx, genome1.shape[0] - 1)
-    by = jnp.take(genome1, idx, axis=0)
-    bits = _unpack1_u8(by)  # (B, r + 8) uint8
-    return _shift_select(bits, shift, r, 8).astype(jnp.int32)
+def _expand_resident(g32: jnp.ndarray, gstart: jnp.ndarray, r: int):
+    """Device-side window expansion from the HBM-resident packed genome
+    (int32 words, :func:`bytes_to_words`): row i's codes are
+    ``genome[gstart[i] : gstart[i] + r]``.  The genome crosses the
+    host->device link ONCE per scan; each run then costs 4 bytes of
+    descriptor instead of ``r/4`` bytes of sequence."""
+    word0 = gstart // 16
+    shift = gstart % 16
+    nwords = (r + 15) // 16 + 1  # >= r + 16 decoded: room for any shift
+    idx = word0[:, None] + jnp.arange(nwords, dtype=gstart.dtype)[None, :]
+    idx = jnp.minimum(idx, g32.shape[0] - 1)  # tail windows are
+    w = jnp.take(g32, idx, axis=0)  # masked invalid by vbits
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    codes = ((w[:, :, None] >> shifts[None, None, :]) & 3).reshape(
+        w.shape[0], -1
+    )  # (B, r + 16) int32
+    return _shift_select(codes, shift, r, 16)
+
+
+def _expand_resident_bits(g32: jnp.ndarray, gstart: jnp.ndarray, r: int):
+    """Same word gather for the 1-bit-per-base N plane (int32 words)."""
+    word0 = gstart // 32
+    shift = gstart % 32
+    nwords = (r + 31) // 32 + 1
+    idx = word0[:, None] + jnp.arange(nwords, dtype=gstart.dtype)[None, :]
+    idx = jnp.minimum(idx, g32.shape[0] - 1)
+    w = jnp.take(g32, idx, axis=0)
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    bits = ((w[:, :, None] >> shifts[None, None, :]) & 1).reshape(
+        w.shape[0], -1
+    )  # (B, r + 32) int32
+    return _shift_select(bits, shift, r, 32)
 
 
 def _pallas_hist_mode() -> str:
-    """``'off' | 'bf16' | 'int8'`` — resolved at TRACE time.
+    """``'off' | 'bf16' | 'int8' | 'v2bf16' | 'v2int8'`` — resolved at
+    TRACE time.
 
-    Default: **off** — measured on TPU v5e the Pallas VMEM-one-hot kernel
-    runs the same histogram 19% SLOWER than this module's XLA dot
-    formulation (14.2 vs 11.9 ms per 8.3M-element dispatch, bit-identical
-    checksums; tools/bench_stages.py, docs/BENCHMARKS.md).  Both are
-    bound by one-hot operand handling, and XLA's compare->bf16 fusion
-    lowers better than Mosaic's.  The kernel is kept for re-evaluation on
-    other TPU generations: ``GRAFIMO_PALLAS_HIST=bf16|int8`` opts in
-    (read when the enclosing jit traces — set it before the scan; only
-    meaningful on a single local TPU device, a Mosaic kernel is not
-    GSPMD-partitionable across the scan_batches mesh).
+    ``GRAFIMO_PALLAS_HIST`` picks the exact-histogram backend
+    (measurements: tools/bench_hist2.py, docs/BENCHMARKS.md).  The
+    Pallas kernels build the one-hot operands in VMEM instead of
+    streaming them through HBM; v2 additionally uses a one-vreg lo radix
+    and packed-dtype compares (which v5e Mosaic cannot lower — kept for
+    newer generations).  Default ``auto``: the v1 bf16 kernel on a
+    single local TPU device (measured 17% faster full kernel on v5e,
+    bit-identical), the XLA dot everywhere else — a Mosaic kernel is
+    not GSPMD-partitionable across the scan_batches mesh.  Read when
+    the enclosing jit traces; set it before the scan.
     """
     import os
 
-    v = os.environ.get("GRAFIMO_PALLAS_HIST", "off").lower()
+    v = os.environ.get("GRAFIMO_PALLAS_HIST", "auto").lower()
     if v in ("1", "on", "true", "bf16"):
         return "bf16"
-    if v == "int8":
-        return "int8"
+    if v in ("int8", "v2bf16", "v2int8"):
+        return v
+    if v == "auto":
+        if (
+            jax.default_backend() == "tpu"
+            and len(jax.local_devices()) == 1
+        ):
+            return "bf16"
     return "off"
 
 
@@ -162,8 +189,12 @@ def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
     """
     mode = _pallas_hist_mode()
     if mode != "off" and scores.shape[-1] <= 16:  # pallas_hist.MAX_M
-        from grafimo_tpu.ops.pallas_hist import hist_pallas
+        from grafimo_tpu.ops.pallas_hist import hist_pallas, hist_pallas2
 
+        if mode.startswith("v2"):
+            return hist_pallas2(
+                scores, hist_size, use_int8=mode == "v2int8"
+            )
         return hist_pallas(scores, hist_size, use_int8=mode == "int8")
     b, noff, m = scores.shape
     n_hi = (hist_size + 255) // 256 + 1  # + spill row for invalid

@@ -178,7 +178,9 @@ def sharded_resident_scan(
     PWM columns over ``motif``, histograms psum over ``data``.
 
     Returns ``run(genome4, [ngenome,] gstart, vbits, pwm_kernel,
-    min_scores, cutoffs) -> (hist, hitbits, hit_counts)``.  Pad ``gstart``
+    min_scores, cutoffs) -> (hist, hitbits, hit_counts)``; the genome
+    planes are int32 words (``ops/score_runs.bytes_to_words``).  Pad
+    ``gstart``
     to the data-axis size with 0s and pad ``vbits`` with all-zero rows —
     padding windows are invalid and drop from histograms and counts.
     """

@@ -37,6 +37,7 @@ from grafimo_tpu.models.motif import Motif
 from grafimo_tpu.models.pvalue import PvalueLookup
 from grafimo_tpu.ops.qvalue import qvalues_from_histogram
 from grafimo_tpu.ops.score_runs import (
+    bytes_to_words,
     pack_bits,
     pack_run_seqs,
     pwms_to_conv_kernel,
@@ -116,8 +117,10 @@ class DeviceBatch:
 
 
 def _resident_genome(graph: SiteGraph):
-    """Packed whole-chromosome arrays for on-device expansion (cached on
-    the graph): ``(codes4 (ceil(L/4)+pad,) uint8, nplane or None)``."""
+    """Packed whole-chromosome planes for on-device expansion (cached on
+    the graph), as int32 words (``ops/score_runs.bytes_to_words`` — the
+    expand kernels gather words): ``(codes words, n-plane words or
+    None)``."""
     cached = getattr(graph, "_resident_genome_cache", None)
     if cached is not None:
         return cached
@@ -127,8 +130,12 @@ def _resident_genome(graph: SiteGraph):
     pad4 = (-len(codes)) % 4
     if pad4:
         codes = np.concatenate([codes, np.zeros(pad4, np.uint8)])
-    codes4 = pack_run_seqs(codes[None, :])[0]
-    nplane = pack_bits(nmask[None, :])[0] if nmask.any() else None
+    codes4 = bytes_to_words(pack_run_seqs(codes[None, :])[0])
+    nplane = (
+        bytes_to_words(pack_bits(nmask[None, :])[0])
+        if nmask.any()
+        else None
+    )
     cached = (codes4, nplane)
     graph._resident_genome_cache = cached
     return cached

@@ -83,6 +83,7 @@ def test_sharded_resident_matches_single_device(ctcf):
     import jax.numpy as jnp
 
     from grafimo_tpu.ops.score_runs import (
+        bytes_to_words,
         pack_bits,
         pack_run_seqs,
         pwms_to_conv_kernel,
@@ -97,7 +98,7 @@ def test_sharded_resident_matches_single_device(ctcf):
     B = 64
     L = 4096
     genome = rng.integers(0, 4, L).astype(np.uint8)
-    genome4 = pack_run_seqs(genome[None, :])[0]
+    genome4 = bytes_to_words(pack_run_seqs(genome[None, :])[0])
     gstart = rng.integers(0, L - R, B).astype(np.int32)
     valid = rng.random((B, noff)) < 0.8
     vbits = pack_bits(valid)

@@ -61,6 +61,7 @@ def test_patched_kernel_matches_packed():
     import jax.numpy as jnp
 
     from grafimo_tpu.ops.score_runs import (
+        bytes_to_words,
         pack_bits,
         pack_run_seqs,
         scan_runs_device_topk,
@@ -70,7 +71,7 @@ def test_patched_kernel_matches_packed():
     rng = np.random.default_rng(0)
     L, R, k, B, P = 2048, 128, 11, 16, 16
     genome = rng.integers(0, 4, L).astype(np.uint8)
-    genome4 = pack_run_seqs(genome[None, :])[0]
+    genome4 = bytes_to_words(pack_run_seqs(genome[None, :])[0])
     gstart = rng.integers(0, L - R, B).astype(np.int32)
     patches = np.full((B, P), -1, dtype=np.int16)
     rows = np.stack([genome[g : g + R] for g in gstart]).copy()

@@ -9,6 +9,7 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from grafimo_tpu.ops.score_runs import (  # noqa: E402
+    bytes_to_words,
     pack_bits,
     pack_run_seqs,
     pwms_to_conv_kernel,
@@ -35,8 +36,10 @@ def test_resident_matches_packed(seed, r, with_n):
         nmask[rng.integers(0, L, 17)] = True
     pad4 = (-L) % 4
     g_codes = np.concatenate([genome, np.zeros(pad4, np.uint8)])
-    genome4 = pack_run_seqs(g_codes[None])[0]
-    nplane = pack_bits(nmask[None])[0] if with_n else None
+    genome4 = bytes_to_words(pack_run_seqs(g_codes[None])[0])
+    nplane = (
+        bytes_to_words(pack_bits(nmask[None])[0]) if with_n else None
+    )
 
     B = 33
     noff = r - k + 1

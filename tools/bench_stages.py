@@ -80,13 +80,17 @@ def main() -> None:
     rng = np.random.default_rng(0)
     genome_codes = rng.integers(0, 4, 64_000_000).astype(np.uint8)
     quads = genome_codes[: len(genome_codes) // 4 * 4].reshape(-1, 4)
+    from grafimo_tpu.ops.score_runs import bytes_to_words
+
     genome4 = jax.device_put(
-        (
-            quads[:, 0]
-            | (quads[:, 1] << 2)
-            | (quads[:, 2] << 4)
-            | (quads[:, 3] << 6)
-        ).astype(np.uint8)
+        bytes_to_words(
+            (
+                quads[:, 0]
+                | (quads[:, 1] << 2)
+                | (quads[:, 2] << 4)
+                | (quads[:, 3] << 6)
+            ).astype(np.uint8)
+        )
     )
     gstart = jax.device_put(
         rng.integers(0, len(genome_codes) - R, B).astype(np.int32)
