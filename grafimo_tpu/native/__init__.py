@@ -107,7 +107,7 @@ def _lib() -> ctypes.CDLL:
             lib.gt_batch_n_overflows.restype = c.c_int64
             lib.gt_batch_overflows.argtypes = [c.c_void_p, i32p]
             lib.gt_batch_overflows.restype = None
-            lib.gt_batch_rows.argtypes = [c.c_void_p, i64p, i64p]
+            lib.gt_batch_rows.argtypes = [c.c_void_p, i64p, i64p, i64p]
             lib.gt_batch_rows.restype = None
             lib.gt_batch_export.argtypes = [
                 c.c_void_p, c.c_int64, u8p, u8p, u8p, i32p,
@@ -117,6 +117,12 @@ def _lib() -> ctypes.CDLL:
                 c.c_void_p, c.c_int64, i64p, i16p, u8p, i32p,
             ]
             lib.gt_batch_export_patched.restype = None
+            lib.gt_splice_breaks.argtypes = []
+            lib.gt_splice_breaks.restype = c.c_int64
+            lib.gt_batch_export_spliced.argtypes = [
+                c.c_void_p, c.c_int64, i64p, i16p, i16p, u8p, i32p,
+            ]
+            lib.gt_batch_export_spliced.restype = None
             lib.gt_batch_free.argtypes = [c.c_void_p]
             lib.gt_batch_free.restype = None
             u64p = c.POINTER(c.c_uint64)
@@ -317,14 +323,18 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 14,
     try:
         rows = np.zeros(bucket_arr.size, dtype=np.int64)
         rows_p = np.zeros(bucket_arr.size, dtype=np.int64)
+        rows_s = np.zeros(bucket_arr.size, dtype=np.int64)
         lib.gt_batch_rows(
-            handle, rows.ctypes.data_as(i64p), rows_p.ctypes.data_as(i64p)
+            handle, rows.ctypes.data_as(i64p),
+            rows_p.ctypes.data_as(i64p), rows_s.ctypes.data_as(i64p),
         )
+        n_brk = int(lib.gt_splice_breaks())
         per_bucket = {}
         for bi, r_len in enumerate(bucket_arr.tolist()):
             n = int(rows[bi])
             n_p = int(rows_p[bi])
-            if n == 0 and n_p == 0:
+            n_s = int(rows_s[bi])
+            if n == 0 and n_p == 0 and n_s == 0:
                 continue
             noff = r_len - k + 1
             entry = {}
@@ -356,6 +366,25 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 14,
                 )
                 entry["patched"] = dict(
                     gstart=gstart, patches=pat, vbits=vbits_p, meta=meta_p
+                )
+            if n_s:
+                slots = int(slots_arr[bi])
+                gstart_s = np.empty(n_s, dtype=np.int64)
+                splice = np.empty((n_s, 2 * n_brk), dtype=np.int16)
+                pat_s = np.empty((n_s, slots), dtype=np.int16)
+                vbits_s = np.empty((n_s, (noff + 7) // 8), dtype=np.uint8)
+                meta_s = np.empty((n_s, 4), dtype=np.int32)
+                lib.gt_batch_export_spliced(
+                    handle, c.c_int64(bi),
+                    gstart_s.ctypes.data_as(i64p),
+                    splice.ctypes.data_as(i16p),
+                    pat_s.ctypes.data_as(i16p),
+                    vbits_s.ctypes.data_as(u8p),
+                    meta_s.ctypes.data_as(i32p),
+                )
+                entry["spliced"] = dict(
+                    gstart=gstart_s, splice=splice, patches=pat_s,
+                    vbits=vbits_s, meta=meta_s,
                 )
             per_bucket[int(r_len)] = entry
         n_ovf = int(lib.gt_batch_n_overflows(handle))

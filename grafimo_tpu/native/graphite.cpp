@@ -39,11 +39,18 @@ struct RunOut {
   int32_t cluster_idx;          // -1 = backbone
   int32_t combo_idx;
   // substitution-only combinations are genome-aligned: codes[j] ==
-  // seq[flank_l + j] except at `patches` (genome pos, base) — such rows
+  // seq[flank_l + j] except at `patches` (run offset, base) — such rows
   // ship to the device as descriptors instead of packed bytes
   bool patchable = false;
   int64_t flank_l = 0;
   std::vector<std::pair<int64_t, uint8_t>> patches;
+  // indel combinations are genome-aligned PIECEWISE: codes[j] ==
+  // seq[flank_l + j + shift] with shift stepping at `breaks`
+  // ((run offset, shift after) pairs) and `patches` overriding
+  // inserted/substituted bases — the span-splice resident
+  // representation (ops/score_runs.scan_runs_resident_spliced_topk)
+  bool spliceable = false;
+  std::vector<std::pair<int64_t, int64_t>> breaks;
 };
 
 struct RunSet {
@@ -103,30 +110,48 @@ bool build_cluster_run(const GraphView& g,
 
   emit_ref(flank_l, first.start);
   out->flank_l = flank_l;
-  out->patchable = true;  // until a length-changing allele shows up
+  // piecewise genome alignment: genome_pos = flank_l + dst + shift,
+  // with shift stepping after every length-changing allele.
+  //   patchable: shift stays 0 and every patched base is ACGT over ACGT
+  //     reference (the patched kernel keeps the genome N plane);
+  //   spliceable: shift steps ride `breaks`, ALL alt-region mismatches
+  //     are ACGT patches (the spliced kernel zeroes N at patched
+  //     offsets, so the reference base under a patch may be anything).
+  out->patchable = true;
+  out->spliceable = true;
   out->patches.clear();
+  out->breaks.clear();
+  int64_t shift = 0;
   int64_t cursor = first.start;
   for (size_t i = 0; i < cluster.size(); ++i) {
     const SiteView& s = g.sites[cluster[i]];
     int a_idx = combo[i];
     emit_ref(cursor, s.start);
     int64_t alen = g.allele_len[s.allele_off + a_idx];
+    int64_t rlen = s.end - s.start;
     const uint8_t* aseq = g.allele_blob + g.allele_off[s.allele_off + a_idx];
-    if (alen != s.end - s.start) out->patchable = false;
-    if (out->patchable && a_idx != 0) {
-      // mirror runscan._patch_info: substituted bases must be ACGT over
-      // ACGT reference (the resident N plane comes from the genome)
+    int64_t a_start = (int64_t)codes.size();
+    if (out->spliceable) {
       for (int64_t o = 0; o < alen; ++o) {
-        uint8_t refc = g.seq[s.start + o];
+        int64_t dst = a_start + o;
+        int64_t gpos = flank_l + dst + shift;
+        uint8_t refc = gpos < g.L ? g.seq[gpos] : (uint8_t)255;
         if (aseq[o] == refc) continue;
-        if (aseq[o] >= 4 || refc >= 4) {
+        if (aseq[o] >= 4) {  // not 2-bit encodable as a patch
           out->patchable = false;
+          out->spliceable = false;
+          out->patches.clear();
           break;
         }
-        out->patches.emplace_back(s.start + o, aseq[o]);
+        if (refc >= 4) out->patchable = false;  // N plane would leak
+        out->patches.emplace_back(dst, aseq[o]);
       }
     }
-    int64_t a_start = (int64_t)codes.size();
+    if (alen != rlen) {
+      out->patchable = false;
+      shift += rlen - alen;
+      out->breaks.emplace_back(a_start + alen, shift);
+    }
     if (alen == 0) {
       det.push_back({a_start - k + 1, a_start - 1, a_idx});
     } else {
@@ -350,7 +375,23 @@ struct BucketBuf {
   std::vector<int16_t> pat_p;      // rows_p x slots, -1 = empty
   std::vector<uint8_t> vbits_p;    // rows_p x ceil((R-k+1)/8)
   std::vector<int32_t> meta_p;     // rows_p x 4
+  // span-spliced rows (indel cluster chunks): genome offset + up to
+  // SPLICE_BREAKS (bound, shift) int16 pairs + patch slots — the row is
+  // genome[gstart + shift_seg : ...] piecewise with inserted/changed
+  // bases patched (ops/score_runs.scan_runs_resident_spliced_topk)
+  int64_t rows_s = 0;
+  std::vector<int64_t> gstart_s;   // rows_s
+  std::vector<int16_t> splice_s;   // rows_s x (2*SPLICE_BREAKS)
+  std::vector<int16_t> pat_s;      // rows_s x slots, -1 = empty
+  std::vector<uint8_t> vbits_s;    // rows_s x ceil((R-k+1)/8)
+  std::vector<int32_t> meta_s;     // rows_s x 4
 };
+
+// max genome-alignment steps (indels) per spliced chunk; bound 0x7fff
+// marks an unused pair.  One indel per window is the overwhelmingly
+// common case (candidate combos put all non-ref choices in one window).
+constexpr int64_t SPLICE_BREAKS = 2;
+constexpr int16_t SPLICE_UNUSED = 0x7fff;
 
 struct BatchSet {
   std::vector<BucketBuf> buckets;
@@ -403,18 +444,49 @@ void append_patched(BucketBuf* b, int64_t k, const RunOut& r, int64_t pos,
   for (int64_t o = 0; o < take_off; ++o)
     if (r.valid[pos + o])
       b->vbits_p[v0 + (o >> 3)] |= (uint8_t)(1u << (o & 7));
-  int64_t g0 = r.flank_l + pos;
-  b->gstart_p.push_back(g0);
+  b->gstart_p.push_back(r.flank_l + pos);
   size_t s0 = b->pat_p.size();
   b->pat_p.resize(s0 + b->slots, (int16_t)-1);
-  for (int64_t pi = p_lo; pi < p_hi; ++pi)
+  for (int64_t pi = p_lo; pi < p_hi; ++pi)  // patches are run offsets
     b->pat_p[s0 + (pi - p_lo)] =
-        (int16_t)((r.patches[pi].first - g0) * 4 + r.patches[pi].second);
+        (int16_t)((r.patches[pi].first - pos) * 4 + r.patches[pi].second);
   b->meta_p.push_back(region);
   b->meta_p.push_back(r.cluster_idx);
   b->meta_p.push_back(r.combo_idx);
   b->meta_p.push_back((int32_t)pos);
   b->rows_p += 1;
+}
+
+void append_spliced(BucketBuf* b, int64_t k, const RunOut& r, int64_t pos,
+                    int64_t take_off, int64_t p_lo, int64_t p_hi,
+                    int64_t shift0, int64_t brk_lo, int64_t brk_hi,
+                    int32_t region) {
+  const int64_t noff = b->R - k + 1;
+  const int64_t vw = (noff + 7) / 8;
+  size_t v0 = b->vbits_s.size();
+  b->vbits_s.resize(v0 + vw, 0);
+  for (int64_t o = 0; o < take_off; ++o)
+    if (r.valid[pos + o])
+      b->vbits_s[v0 + (o >> 3)] |= (uint8_t)(1u << (o & 7));
+  b->gstart_s.push_back(r.flank_l + pos + shift0);
+  size_t e0 = b->splice_s.size();
+  b->splice_s.resize(e0 + 2 * SPLICE_BREAKS, SPLICE_UNUSED);
+  for (int64_t bi = brk_lo; bi < brk_hi; ++bi) {
+    b->splice_s[e0 + 2 * (bi - brk_lo)] =
+        (int16_t)(r.breaks[bi].first - pos);
+    b->splice_s[e0 + 2 * (bi - brk_lo) + 1] =
+        (int16_t)(r.breaks[bi].second - shift0);
+  }
+  size_t s0 = b->pat_s.size();
+  b->pat_s.resize(s0 + b->slots, (int16_t)-1);
+  for (int64_t pi = p_lo; pi < p_hi; ++pi)
+    b->pat_s[s0 + (pi - p_lo)] =
+        (int16_t)((r.patches[pi].first - pos) * 4 + r.patches[pi].second);
+  b->meta_s.push_back(region);
+  b->meta_s.push_back(r.cluster_idx);
+  b->meta_s.push_back(r.combo_idx);
+  b->meta_s.push_back((int32_t)pos);
+  b->rows_s += 1;
 }
 
 void fill_batchset(BatchSet* bs, const GraphView& g,
@@ -427,29 +499,59 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
     int64_t L = (int64_t)r.codes.size();
     int64_t noff_total = L - k + 1;
     int64_t pos = 0;
-    size_t p_cursor = 0;  // patches are emitted in ascending genome order
+    size_t p_cursor = 0;   // patches are emitted in ascending run order
+    size_t brk_cursor = 0;  // ditto for alignment breaks
     while (pos < noff_total) {
       int64_t take_off = std::min(stride_base, noff_total - pos);
       int64_t chunk_len = take_off + k - 1;
       int64_t bi = 0;
       while (bucket_sizes[bi] < chunk_len) ++bi;
       BucketBuf* b = &bs->buckets[bi];
-      if (r.patchable && r.cluster_idx >= 0 && b->slots > 0) {
-        // patches covered by this chunk: genome coords in
-        // [flank_l + pos, flank_l + pos + R)
-        int64_t g0 = r.flank_l + pos;
+      if (r.cluster_idx >= 0 && b->slots > 0 &&
+          (r.patchable || r.spliceable)) {
+        // patches covered by this chunk: run offsets in [pos, pos + R)
         while (p_cursor < r.patches.size() &&
-               r.patches[p_cursor].first < g0)
+               r.patches[p_cursor].first < pos)
           ++p_cursor;
         size_t p_end = p_cursor;
         while (p_end < r.patches.size() &&
-               r.patches[p_end].first < g0 + b->R)
+               r.patches[p_end].first < pos + b->R)
           ++p_end;
-        if ((int64_t)(p_end - p_cursor) <= b->slots) {
-          append_patched(b, k, r, pos, take_off, (int64_t)p_cursor,
-                         (int64_t)p_end, region);
-          pos += take_off;
-          continue;
+        if (r.patchable) {
+          if ((int64_t)(p_end - p_cursor) <= b->slots) {
+            append_patched(b, k, r, pos, take_off, (int64_t)p_cursor,
+                           (int64_t)p_end, region);
+            pos += take_off;
+            continue;
+          }
+        } else {
+          // span-spliced: breaks at run offsets <= pos fold into the
+          // chunk's base shift; breaks inside (pos, pos + chunk_len)
+          // become (bound, shift) entries
+          while (brk_cursor < r.breaks.size() &&
+                 r.breaks[brk_cursor].first <= pos)
+            ++brk_cursor;
+          int64_t shift0 =
+              brk_cursor ? r.breaks[brk_cursor - 1].second : 0;
+          size_t brk_end = brk_cursor;
+          while (brk_end < r.breaks.size() &&
+                 r.breaks[brk_end].first < pos + chunk_len)
+            ++brk_end;
+          bool ok = (int64_t)(p_end - p_cursor) <= b->slots &&
+                    (int64_t)(brk_end - brk_cursor) <= SPLICE_BREAKS &&
+                    r.flank_l + pos + shift0 >= 0;
+          for (size_t x = brk_cursor; ok && x < brk_end; ++x) {
+            int64_t rel = r.breaks[x].second - shift0;
+            ok = r.flank_l + pos + r.breaks[x].second >= 0 &&
+                 rel > -SPLICE_UNUSED && rel < SPLICE_UNUSED;
+          }
+          if (ok) {
+            append_spliced(b, k, r, pos, take_off, (int64_t)p_cursor,
+                           (int64_t)p_end, shift0, (int64_t)brk_cursor,
+                           (int64_t)brk_end, region);
+            pos += take_off;
+            continue;
+          }
         }
       }
       append_chunk(b, k, r.codes.data() + pos, r.valid.data() + pos,
@@ -527,6 +629,16 @@ BatchSet* batch_regions_impl(const GraphView& g,
       dst.meta_p.insert(dst.meta_p.end(), src.meta_p.begin(),
                         src.meta_p.end());
       dst.rows_p += src.rows_p;
+      dst.gstart_s.insert(dst.gstart_s.end(), src.gstart_s.begin(),
+                          src.gstart_s.end());
+      dst.splice_s.insert(dst.splice_s.end(), src.splice_s.begin(),
+                          src.splice_s.end());
+      dst.pat_s.insert(dst.pat_s.end(), src.pat_s.begin(), src.pat_s.end());
+      dst.vbits_s.insert(dst.vbits_s.end(), src.vbits_s.begin(),
+                         src.vbits_s.end());
+      dst.meta_s.insert(dst.meta_s.end(), src.meta_s.begin(),
+                        src.meta_s.end());
+      dst.rows_s += src.rows_s;
     }
     delete p;
   }
@@ -583,12 +695,30 @@ void gt_batch_overflows(void* h, int32_t* out) {
   }
 }
 
-void gt_batch_rows(void* h, int64_t* rows_out, int64_t* rows_p_out) {
+void gt_batch_rows(void* h, int64_t* rows_out, int64_t* rows_p_out,
+                   int64_t* rows_s_out) {
   BatchSet* bs = (BatchSet*)h;
   for (size_t i = 0; i < bs->buckets.size(); ++i) {
     rows_out[i] = bs->buckets[i].rows;
     rows_p_out[i] = bs->buckets[i].rows_p;
+    rows_s_out[i] = bs->buckets[i].rows_s;
   }
+}
+
+// spliced rows: splice is rows_s x (2*SPLICE_BREAKS) int16
+int64_t gt_splice_breaks() { return SPLICE_BREAKS; }
+
+void gt_batch_export_spliced(void* h, int64_t bucket, int64_t* gstart,
+                             int16_t* splice, int16_t* pat, uint8_t* vbits,
+                             int32_t* meta) {
+  BucketBuf& b = ((BatchSet*)h)->buckets[bucket];
+  std::memcpy(gstart, b.gstart_s.data(),
+              b.gstart_s.size() * sizeof(int64_t));
+  std::memcpy(splice, b.splice_s.data(),
+              b.splice_s.size() * sizeof(int16_t));
+  std::memcpy(pat, b.pat_s.data(), b.pat_s.size() * sizeof(int16_t));
+  std::memcpy(vbits, b.vbits_s.data(), b.vbits_s.size());
+  std::memcpy(meta, b.meta_s.data(), b.meta_s.size() * sizeof(int32_t));
 }
 
 void gt_batch_export(void* h, int64_t bucket, uint8_t* packed, uint8_t* nbits,

@@ -537,6 +537,76 @@ def scan_runs_resident_patched_topk(
     )
 
 
+def _clear_at_patches(plane: jnp.ndarray, patches: jnp.ndarray):
+    """Zero a per-base indicator plane at every patched offset (patched
+    bases are ACGT by contract, so their N indicator must drop even when
+    the underlying spliced genome position was N)."""
+    r = plane.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    p32 = patches.astype(jnp.int32)
+    for p in range(patches.shape[1]):
+        ent = p32[:, p : p + 1]
+        plane = jnp.where((iota == (ent >> 2)) & (ent >= 0),
+                          jnp.zeros((), plane.dtype), plane)
+    return plane
+
+
+@partial(
+    jax.jit,
+    static_argnames=("r", "k", "hist_size", "topk"),
+    donate_argnums=(0,),
+)
+def scan_runs_resident_spliced_topk(
+    hist_acc, genome4, ngenome, gstart, splice, patches, vbits, pwm_kernel,
+    min_scores, cutoffs, r: int, k: int, hist_size: int, topk: int,
+):
+    """Resident scan of CLUSTER combination runs containing INDELS: each
+    row is the genome spliced piecewise — row ``i`` starts as
+    ``genome[gstart[i] : gstart[i] + r]`` and, at each splice entry
+    ``(bound, shift)`` (``splice (B, 2*S) int16``, bound ``0x7fff`` =
+    unused), switches to ``genome[gstart[i] + shift + j]`` for offsets
+    ``j >= bound`` — then per-row patches overwrite inserted/substituted
+    bases.  Wire cost: 4B offset + 4B per splice entry + 2B per patch
+    slot instead of ``r/4`` packed bytes (roadmap: indel-combination
+    residency; gated in by the measured 24% packed wire share at 1KGP
+    indel density, docs/BENCHMARKS.md).
+
+    Expansion stays word gathers + per-position selects — no
+    per-element gathers (the thing to engineer around on TPU); device
+    cost is ``S+1`` backbone expansions over the spliced rows only.
+    """
+    codes = _expand_resident(genome4, gstart, r)
+    n_ind = (
+        _expand_resident_bits(ngenome, gstart, r)
+        if ngenome is not None
+        else None
+    )
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    s32 = splice.astype(jnp.int32)
+    for s in range(splice.shape[1] // 2):
+        bound = s32[:, 2 * s : 2 * s + 1]  # (B, 1)
+        shift = jnp.where(
+            bound == 0x7FFF, 0, s32[:, 2 * s + 1 : 2 * s + 2]
+        )
+        sel = iota >= bound
+        plane = _expand_resident(genome4, gstart + shift[:, 0], r)
+        codes = jnp.where(sel, plane, codes)
+        if n_ind is not None:
+            nplane = _expand_resident_bits(
+                ngenome, gstart + shift[:, 0], r
+            )
+            n_ind = jnp.where(sel, nplane, n_ind)
+    codes = _apply_patches(codes, patches)
+    if n_ind is not None:
+        n_ind = _clear_at_patches(n_ind, patches)
+    hist, hitbits = _score_codes(
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+    )
+    return _topk_package(
+        hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
+    )
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def absorb_slice(nh_acc, top_acc, n_hits, top_vals, i):
     """Record one scan slice's results into the donated per-block

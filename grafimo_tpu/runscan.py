@@ -114,6 +114,10 @@ class DeviceBatch:
     # expand from the genome at gstart and apply per-row patches
     # (pos*4+base int16, -1 = empty) on device
     patches: Optional[np.ndarray] = None  # int16 (B, PATCH_SLOTS)
+    # device-resident INDEL cluster batches: piecewise genome alignment —
+    # (bound, shift) int16 pairs, bound 0x7fff = unused; rows with a
+    # splice also carry patches for inserted/substituted bases
+    splice: Optional[np.ndarray] = None  # int16 (B, 2*SPLICE_BREAKS)
 
 
 def _resident_genome(graph: SiteGraph):
@@ -401,6 +405,28 @@ def batch_runs(
                                 patches=p["patches"],
                             )
                         )
+                    sp = d.get("spliced")
+                    if sp is not None and len(sp["meta"]):
+                        batches.append(
+                            DeviceBatch(
+                                R=r_len, packed=None, nbits=None,
+                                vbits=sp["vbits"],
+                                chunks=[
+                                    RunChunk(
+                                        (
+                                            group[int(m[0])].key,
+                                            (int(m[1]), int(m[2])),
+                                        ),
+                                        int(m[3]),
+                                    )
+                                    for m in sp["meta"]
+                                ],
+                                gstart=sp["gstart"].astype(np.int32),
+                                graph=group[0].graph,
+                                patches=sp["patches"],
+                                splice=sp["splice"],
+                            )
+                        )
                     if "meta" not in d:
                         continue
                     meta = d["meta"]
@@ -653,20 +679,28 @@ def batch_wire_stats(batches: List[DeviceBatch], k: int) -> Dict[str, dict]:
     if their wire share warrants it).
 
     Categories: ``backbone`` (4B genome-offset descriptors), ``patched``
-    (4B offset + 2B/patch-slot substitution descriptors), ``packed``
-    (R/4 sequence + R/8 N-mask bytes — indel combinations, short buckets,
-    fallback windows).  Validity bitmaps are charged to every category
-    (scan_batches skips them for clean slices, so this is an upper bound).
+    (4B offset + 2B/patch-slot substitution descriptors), ``spliced``
+    (patched + 4B per splice entry — indel combinations), ``packed``
+    (R/4 sequence + R/8 N-mask bytes — multi-indel chunks, short
+    buckets, fallback windows).  Validity bitmaps are charged to every
+    category (scan_batches skips them for clean slices, so this is an
+    upper bound).
     """
     stats = {
         c: {"rows": 0, "bytes": 0, "windows": 0}
-        for c in ("backbone", "patched", "packed")
+        for c in ("backbone", "patched", "spliced", "packed")
     }
     for b in batches:
         n = len(b.chunks)
         noff = b.R - k + 1
         vbytes = n * ((noff + 7) // 8)
-        if b.gstart is not None and b.patches is not None:
+        if b.gstart is not None and b.splice is not None:
+            s = stats["spliced"]
+            s["bytes"] += (
+                n * (4 + 2 * b.splice.shape[1] + 2 * b.patches.shape[1])
+                + vbytes
+            )
+        elif b.gstart is not None and b.patches is not None:
             s = stats["patched"]
             s["bytes"] += n * (4 + 2 * b.patches.shape[1]) + vbytes
         elif b.gstart is not None:
@@ -717,6 +751,7 @@ def scan_batches(
         package_block,
         scan_runs_device_topk,
         scan_runs_resident_patched_topk,
+        scan_runs_resident_spliced_topk,
         scan_runs_resident_topk,
     )
 
@@ -939,13 +974,33 @@ def scan_batches(
                                 ),
                             ]
                         )
-                    hist_acc, hitbits, n_hits, top_idx = (
-                        scan_runs_resident_patched_topk(
-                            hist_acc, g4, gn, _rows(gs), _rows(pt), vb,
-                            pwm_dev, mins_dev, cuts_dev, batch.R, k,
-                            hist_size, TOPK,
+                    if batch.splice is not None:
+                        sp = batch.splice[lo:hi]
+                        if pad:
+                            sp = np.concatenate(
+                                [
+                                    sp,
+                                    np.full(
+                                        (pad, sp.shape[1]), 0x7FFF,
+                                        dtype=sp.dtype,
+                                    ),
+                                ]
+                            )
+                        hist_acc, hitbits, n_hits, top_idx = (
+                            scan_runs_resident_spliced_topk(
+                                hist_acc, g4, gn, _rows(gs), _rows(sp),
+                                _rows(pt), vb, pwm_dev, mins_dev,
+                                cuts_dev, batch.R, k, hist_size, TOPK,
+                            )
                         )
-                    )
+                    else:
+                        hist_acc, hitbits, n_hits, top_idx = (
+                            scan_runs_resident_patched_topk(
+                                hist_acc, g4, gn, _rows(gs), _rows(pt),
+                                vb, pwm_dev, mins_dev, cuts_dev, batch.R,
+                                k, hist_size, TOPK,
+                            )
+                        )
                 else:
                     hist_acc, hitbits, n_hits, top_idx = (
                         scan_runs_resident_topk(

@@ -138,10 +138,81 @@ def test_patched_path_engages_by_default():
         assert b.packed is None and b.gstart is not None
 
 
-def test_indel_clusters_stay_packed(input_dir):
-    """Indel combinations are not substitution-only — they must keep the
-    packed representation (toy graph has none long enough, so force the
-    floor down and use an indel graph)."""
+def test_spliced_kernel_matches_packed():
+    """Direct kernel check: resident + splice entries + patches ==
+    packed upload for rows built by explicit host-side splicing,
+    including N-plane behaviour at deletions and patched insertions."""
+    import jax.numpy as jnp
+
+    from grafimo_tpu.ops.score_runs import (
+        bytes_to_words,
+        pack_bits,
+        pack_run_seqs,
+        scan_runs_device_topk,
+        scan_runs_resident_spliced_topk,
+    )
+
+    rng = np.random.default_rng(4)
+    L, R, k, B, P, S = 2048, 128, 11, 24, 8, 2
+    genome = rng.integers(0, 4, L).astype(np.uint8)
+    nmask = np.zeros(L, bool)
+    nmask[rng.integers(0, L, 40)] = True
+    g_codes = genome.copy()
+    gw = bytes_to_words(pack_run_seqs(g_codes[None, :])[0])
+    nw = bytes_to_words(pack_bits(nmask[None, :])[0])
+    gstart = rng.integers(16, L - R - 40, B).astype(np.int32)
+    splice = np.full((B, 2 * S), 0x7FFF, dtype=np.int16)
+    patches = np.full((B, P), -1, dtype=np.int16)
+    rows = np.empty((B, R), np.uint8)
+    nrows = np.empty((B, R), bool)
+    for b in range(B):
+        # host oracle: piecewise genome with ascending bounds
+        n_seg = int(rng.integers(0, S + 1))
+        bounds = np.sort(rng.choice(np.arange(4, R - 4), n_seg,
+                                    replace=False))
+        shifts = rng.integers(-12, 13, n_seg)
+        g0 = int(gstart[b])
+        row = genome[g0 : g0 + R].copy()
+        nrow = nmask[g0 : g0 + R].copy()
+        for s, (bd, sh) in enumerate(zip(bounds, shifts)):
+            splice[b, 2 * s] = bd
+            splice[b, 2 * s + 1] = sh
+            row[bd:] = genome[g0 + sh + bd : g0 + sh + R]
+            nrow[bd:] = nmask[g0 + sh + bd : g0 + sh + R]
+        n_pat = int(rng.integers(0, P + 1))
+        for s, pos in enumerate(
+            rng.choice(R, size=n_pat, replace=False)
+        ):
+            base = int(rng.integers(0, 4))
+            patches[b, s] = pos * 4 + base
+            row[pos] = base
+            nrow[pos] = False  # patched bases are ACGT by contract
+        rows[b] = row
+        nrows[b] = nrow
+    noff = R - k + 1
+    vb = pack_bits(rng.integers(0, 2, (B, noff)).astype(bool))
+    mot = _motif(rng, k)
+    kern = np.stack([np.asarray(mot.score_matrix, np.float32).T], axis=-1)
+    mins = np.array([mot.min_score], dtype=np.int32)
+    cuts = np.zeros(1, dtype=np.int32)
+    hs = 1000 * k + 1
+    h1, hb1, n1, t1 = scan_runs_resident_spliced_topk(
+        jnp.zeros((hs, 1), jnp.int32), gw, nw, gstart, splice, patches,
+        vb, kern, mins, cuts, R, k, hs, 64,
+    )
+    h2, hb2, n2, t2 = scan_runs_device_topk(
+        jnp.zeros((hs, 1), jnp.int32), pack_run_seqs(rows),
+        pack_bits(nrows), vb, kern, mins, cuts, k, hs, 64,
+    )
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(hb1), np.asarray(hb2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_indel_clusters_ride_the_spliced_path(input_dir):
+    """Indel combinations are not substitution-only — they ride the
+    span-spliced resident representation (round 3; previously packed),
+    and the scan result stays identical to the per-window engine."""
     rng = np.random.default_rng(9)
     seq = "".join(rng.choice(list("ACGT"), 400))
     records = [
@@ -151,20 +222,27 @@ def test_indel_clusters_stay_packed(input_dir):
     graph = build_graph("i", seq, records)
     k = 19
     rr = rs.build_region_runs(graph, "i", [(0, 400)], k)
-    import grafimo_tpu.runscan as rmod
-
-    old = rmod.MIN_PATCH_R
-    rmod.MIN_PATCH_R = 0
-    try:
-        batches = rmod.batch_runs(rr, k)
-    finally:
-        rmod.MIN_PATCH_R = old
+    batches = rs.batch_runs(rr, k)
+    spliced = [b for b in batches if b.splice is not None]
+    assert spliced, "indel combinations should produce spliced batches"
+    for b in spliced:
+        assert b.packed is None and b.gstart is not None
+        assert b.patches is not None
     for b in batches:
-        if b.patches is not None:
-            # only substitution-only combos may be patched; indel combos
-            # have cluster refs and must remain packed
+        if b.patches is not None and b.splice is None:
+            # pure-patch rows keep the substitution-only contract
             for c in b.chunks:
-                info = rmod._patch_info(
+                info = rs._patch_info(
                     {r.key: r for r in rr}[c.source[0]], c.source[1], k
                 )
                 assert info is not None
+    # end-to-end equality vs the per-window engine
+    motif = _motif(np.random.default_rng(5), k)
+    got = rs.compute_results_runs(
+        [motif], rr, threshold=1.0, recomb=True
+    )[motif.motif_id]
+    batch = extract_region(graph, 0, 400, k, chrom_display="i")
+    want = compute_results(motif, [batch], threshold=1.0, recomb=True)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_exact=True
+    )

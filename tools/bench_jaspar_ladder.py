@@ -104,10 +104,10 @@ def main() -> None:
 
     meme_path = "/tmp/jaspar_core_like.meme"
     histo = synth_meme(meme_path, n_motifs, rng)
+    all_widths = sorted(sum([[w] * c for w, c in histo.items()], []))
     print(
         f"{n_motifs} PWMs over {len(histo)} widths "
-        f"(median {int(np.median(sorted(sum([[w] * c for w, c in "
-        f"histo.items()], []))))})",
+        f"(median {int(np.median(all_widths))})",
         file=sys.stderr,
     )
 
