@@ -173,7 +173,9 @@ def _pallas_hist_mode() -> str:
     return "off"
 
 
-def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
+def _exact_hist(
+    scores: jnp.ndarray, hist_size: int, allow_pallas: bool = True
+) -> jnp.ndarray:
     """Exact integer score histogram as MXU matmuls instead of a
     scatter-add (4-8x faster on TPU for this shape).
 
@@ -187,7 +189,7 @@ def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
     On a single TPU device the contraction runs as a Pallas kernel that
     builds the one-hot operands in VMEM (:func:`_pallas_hist_mode`).
     """
-    mode = _pallas_hist_mode()
+    mode = _pallas_hist_mode() if allow_pallas else "off"
     if mode != "off" and scores.shape[-1] <= 16:  # pallas_hist.MAX_M
         from grafimo_tpu.ops.pallas_hist import hist_pallas, hist_pallas2
 
@@ -234,7 +236,7 @@ def _exact_hist(scores: jnp.ndarray, hist_size: int) -> jnp.ndarray:
 
 def _scan_core(
     packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k: int,
-    hist_size: int,
+    hist_size: int, allow_pallas: bool = True,
 ):
     """``nbits``/``vbits`` may be ``None`` (static, trace-time): a clean
     batch (no N bases / every offset valid) then skips the mask upload
@@ -244,7 +246,8 @@ def _scan_core(
     codes = _unpack2(packed)  # (B, R)
     n_ind = _unpack1(nbits, r) if nbits is not None else None
     return _score_codes(
-        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size,
+        allow_pallas=allow_pallas,
     )
 
 
@@ -318,7 +321,7 @@ def _window_scores(codes, pwm_kernel, k: int) -> jnp.ndarray:
 
 def _score_codes(
     codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k: int,
-    hist_size: int,
+    hist_size: int, allow_pallas: bool = True,
 ):
     b = codes.shape[0]
     r = codes.shape[1]
@@ -338,7 +341,7 @@ def _score_codes(
     if vbits is not None:
         valid = _unpack1(vbits, noff).astype(bool)  # (B, Noff)
         scores = jnp.where(valid[:, :, None], scores, jnp.int32(-1))
-    hist = _exact_hist(scores, hist_size)
+    hist = _exact_hist(scores, hist_size, allow_pallas=allow_pallas)
     # packed hit bits
     hit = (scores >= cutoffs[None, None, :]) & (scores >= 0)
     pad = (-noff) % 8

@@ -122,9 +122,11 @@ def sharded_run_scan(mesh: Mesh, k: int, hist_size: int):
     from grafimo_tpu.ops.score_runs import _scan_core
 
     def _step(packed, nbits, vbits, pwm_kernel, min_scores, cutoffs):
+        # allow_pallas=False: a Mosaic kernel cannot trace inside
+        # shard_map (vma check) nor partition across its mesh
         hist, hitbits = _scan_core(
             packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k,
-            hist_size,
+            hist_size, allow_pallas=False,
         )
         hist = jax.lax.psum(hist, "data")
         counts = jnp.sum(
@@ -206,7 +208,7 @@ def sharded_resident_scan(
             n_ind = _expand_resident_bits(ngenome, gstart, r)
             hist, hitbits = _score_codes(
                 codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs,
-                k, hist_size,
+                k, hist_size, allow_pallas=False,
             )
             return _finish(hist, hitbits)
 
@@ -220,7 +222,7 @@ def sharded_resident_scan(
             codes = _expand_resident(genome4, gstart, r)
             hist, hitbits = _score_codes(
                 codes, None, vbits, pwm_kernel, min_scores, cutoffs,
-                k, hist_size,
+                k, hist_size, allow_pallas=False,
             )
             return _finish(hist, hitbits)
 
