@@ -1101,90 +1101,19 @@ def _score_windows_host(
     return np.where(has_n, np.int64(min_score), sc)
 
 
-def compute_results_runs(
-    motifs: List[Motif],
-    region_runs_list: List[RegionRuns],
-    threshold: float = 1e-4,
-    no_qvalue: bool = False,
-    qval_t: bool = False,
-    no_reverse: bool = False,
-    recomb: bool = False,
-    verbose: bool = False,
-    cores: int = 0,
-    cache_path: Optional[str] = None,
-) -> Dict[str, pd.DataFrame]:
-    """Scan once, report per motif.  All motifs must share one width."""
-    from grafimo_tpu.ops.device import start_device_warmup
+class _DeviceHostMismatch(RuntimeError):
+    """Hit scores absent from the device histogram — device and host
+    scoring disagree (a precision regression, or a transient relay /
+    hardware fault; observed once through the TPU tunnel, round 3)."""
 
-    start_device_warmup()
-    k = motifs[0].width
-    if not all(mt.width == k for mt in motifs):
-        raise ValueError(
-            "compute_results_runs scans one width per call: got widths "
-            f"{sorted({mt.width for mt in motifs})} — bucket motifs by "
-            "width first (findmotif does, workflows.py)"
-        )
-    hist_size = RANGE * k + 1
-    # PWM columns: per motif forward (+ reverse-complement unless
-    # no_reverse); column -> (motif index, strand)
-    mats, col_meta = [], []
-    for mi, mt in enumerate(motifs):
-        mats.append(mt.score_matrix)
-        col_meta.append((mi, "+"))
-        if not no_reverse:
-            mats.append(reverse_complement_pwm(mt.score_matrix))
-            col_meta.append((mi, "-"))
-    pwm_kernel = pwms_to_conv_kernel(mats)
-    min_scores = np.array(
-        [motifs[mi].min_score for mi, _ in col_meta], dtype=np.int32
-    )
-    lookups = [PvalueLookup(mt.pval_table) for mt in motifs]
 
-    import os
-
-    if cache_path and os.path.isfile(cache_path):
-        batches, _keys = load_batches(cache_path)
-        if verbose:
-            print(f"loaded scan checkpoint {cache_path}")
-        # fallback single-window runs (-2 refs) are only reconstructible
-        # from eagerly-built python payloads; rebuild for those regions
-        fb_keys = {
-            c.source[0]
-            for b in batches
-            for c in b.chunks
-            if c.source[1][0] == -2
-        }
-        for rr in region_runs_list:
-            if rr.key in fb_keys and not rr._run_cache:
-                for run in region_runs(rr.graph, rr.start, rr.stop, k):
-                    rr._run_cache[run.ref] = run
-    else:
-        # checkpoints persist full row payloads, so residency is disabled
-        # when a cache dir is in play
-        batches = batch_runs(
-            region_runs_list, k, threads=cores,
-            resident=cache_path is None,
-        )
-        if cache_path:
-            save_batches(
-                cache_path, batches, [rr.key for rr in region_runs_list]
-            )
-            if verbose:
-                print(f"wrote scan checkpoint {cache_path}")
-    by_key = {rr.key: rr for rr in region_runs_list}
-
-    # One pass serves both -t modes.  BH q-values dominate p-values
-    # (q_(i) = min_{j>=i} p_(j)·n/j and every term >= p_(i), so q >= p
-    # always): scanning with the p < t score cutoff collects a superset
-    # of the q < t hits, the exact q-values come from the SAME pass's
-    # histogram, and apply_report_filters drops the excess — no hist-only
-    # pre-pass re-uploading every batch (reference derives q after
-    # scoring too, score_sequences.py:401-430).
-    cutoffs = np.array(
-        [lookups[mi].score_cutoff(threshold) for mi, _ in col_meta],
-        dtype=np.int32,
-    )
-
+def _scan_and_assemble(
+    batches, motifs, region_runs_list, by_key, pwm_kernel, min_scores,
+    cutoffs, col_meta, lookups, k, hist_size, threshold, no_qvalue,
+    qval_t, recomb, verbose,
+):
+    """One scan pass + per-motif report assembly (the retryable tail
+    of :func:`compute_results_runs`)."""
     res = scan_batches(
         batches, pwm_kernel, min_scores, cutoffs, k, hist_size,
         collect_hits=True, progress=True,
@@ -1317,7 +1246,7 @@ def compute_results_runs(
                 # every hit's score must occupy its histogram bin; a miss
                 # means device and host scores disagree (e.g. a precision
                 # regression in the scoring contraction)
-                raise RuntimeError(
+                raise _DeviceHostMismatch(
                     "device/host score mismatch: hit scores "
                     f"{sorted(set(missing))[:5]} absent from the device "
                     "histogram"
@@ -1335,6 +1264,112 @@ def compute_results_runs(
             df, threshold, qval_t, recomb
         )
     return out
+
+
+def compute_results_runs(
+    motifs: List[Motif],
+    region_runs_list: List[RegionRuns],
+    threshold: float = 1e-4,
+    no_qvalue: bool = False,
+    qval_t: bool = False,
+    no_reverse: bool = False,
+    recomb: bool = False,
+    verbose: bool = False,
+    cores: int = 0,
+    cache_path: Optional[str] = None,
+) -> Dict[str, pd.DataFrame]:
+    """Scan once, report per motif.  All motifs must share one width."""
+    from grafimo_tpu.ops.device import start_device_warmup
+
+    start_device_warmup()
+    k = motifs[0].width
+    if not all(mt.width == k for mt in motifs):
+        raise ValueError(
+            "compute_results_runs scans one width per call: got widths "
+            f"{sorted({mt.width for mt in motifs})} — bucket motifs by "
+            "width first (findmotif does, workflows.py)"
+        )
+    hist_size = RANGE * k + 1
+    # PWM columns: per motif forward (+ reverse-complement unless
+    # no_reverse); column -> (motif index, strand)
+    mats, col_meta = [], []
+    for mi, mt in enumerate(motifs):
+        mats.append(mt.score_matrix)
+        col_meta.append((mi, "+"))
+        if not no_reverse:
+            mats.append(reverse_complement_pwm(mt.score_matrix))
+            col_meta.append((mi, "-"))
+    pwm_kernel = pwms_to_conv_kernel(mats)
+    min_scores = np.array(
+        [motifs[mi].min_score for mi, _ in col_meta], dtype=np.int32
+    )
+    lookups = [PvalueLookup(mt.pval_table) for mt in motifs]
+
+    import os
+
+    if cache_path and os.path.isfile(cache_path):
+        batches, _keys = load_batches(cache_path)
+        if verbose:
+            print(f"loaded scan checkpoint {cache_path}")
+        # fallback single-window runs (-2 refs) are only reconstructible
+        # from eagerly-built python payloads; rebuild for those regions
+        fb_keys = {
+            c.source[0]
+            for b in batches
+            for c in b.chunks
+            if c.source[1][0] == -2
+        }
+        for rr in region_runs_list:
+            if rr.key in fb_keys and not rr._run_cache:
+                for run in region_runs(rr.graph, rr.start, rr.stop, k):
+                    rr._run_cache[run.ref] = run
+    else:
+        # checkpoints persist full row payloads, so residency is disabled
+        # when a cache dir is in play
+        batches = batch_runs(
+            region_runs_list, k, threads=cores,
+            resident=cache_path is None,
+        )
+        if cache_path:
+            save_batches(
+                cache_path, batches, [rr.key for rr in region_runs_list]
+            )
+            if verbose:
+                print(f"wrote scan checkpoint {cache_path}")
+    by_key = {rr.key: rr for rr in region_runs_list}
+
+    # One pass serves both -t modes.  BH q-values dominate p-values
+    # (q_(i) = min_{j>=i} p_(j)·n/j and every term >= p_(i), so q >= p
+    # always): scanning with the p < t score cutoff collects a superset
+    # of the q < t hits, the exact q-values come from the SAME pass's
+    # histogram, and apply_report_filters drops the excess — no hist-only
+    # pre-pass re-uploading every batch (reference derives q after
+    # scoring too, score_sequences.py:401-430).
+    cutoffs = np.array(
+        [lookups[mi].score_cutoff(threshold) for mi, _ in col_meta],
+        dtype=np.int32,
+    )
+
+    args = (
+        batches, motifs, region_runs_list, by_key, pwm_kernel,
+        min_scores, cutoffs, col_meta, lookups, k, hist_size,
+        threshold, no_qvalue, qval_t, recomb, verbose,
+    )
+    try:
+        return _scan_and_assemble(*args)
+    except _DeviceHostMismatch:
+        import jax
+
+        if jax.process_count() > 1:
+            # a one-sided retry would desync the collective schedule
+            raise
+        import sys
+
+        sys.stderr.write(
+            "\033[33mWARNING: transient device/host score mismatch; "
+            "rescanning once\033[0m\n"
+        )
+        return _scan_and_assemble(*args)
 
 
 def _motif_hist(hists: np.ndarray, col_meta, mi: int) -> np.ndarray:

@@ -265,3 +265,37 @@ def test_window_scores_select_matches_conv():
         for j in range(k):
             want[:, o, :] += p[j, c[:, o + j], :]
     np.testing.assert_array_equal(got_conv, want)
+
+
+def test_transient_mismatch_rescans_once(toy_graph, ctcf, monkeypatch):
+    """The device/host exactness guard (_DeviceHostMismatch) triggers ONE
+    rescan — a transient relay/hardware fault must not abort a workflow —
+    and a persistent mismatch still raises."""
+    import grafimo_tpu.runscan as rmod
+
+    real = rmod._scan_and_assemble
+    calls = {"n": 0}
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise rmod._DeviceHostMismatch("device/host score mismatch")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(rmod, "_scan_and_assemble", flaky)
+    rr = build_region_runs(toy_graph, "x", [(0, 50)], ctcf.width)
+    out = compute_results_runs([ctcf], rr, threshold=1.0, recomb=True)
+    assert calls["n"] == 2
+    assert len(out[ctcf.motif_id]) > 0
+
+    calls["n"] = 0
+
+    def broken(*args, **kw):
+        calls["n"] += 1
+        raise rmod._DeviceHostMismatch("device/host score mismatch")
+
+    monkeypatch.setattr(rmod, "_scan_and_assemble", broken)
+    rr = build_region_runs(toy_graph, "x", [(0, 50)], ctcf.width)
+    with pytest.raises(rmod._DeviceHostMismatch):
+        compute_results_runs([ctcf], rr, threshold=1.0, recomb=True)
+    assert calls["n"] == 2

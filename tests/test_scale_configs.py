@@ -89,6 +89,51 @@ def test_hundred_pwm_single_pass():
         )
 
 
+def test_fifty_motif_mixed_width_ladder():
+    """JASPAR-CORE-shaped regression: ~50 PWMs over the real width
+    distribution (tools/bench_jaspar_ladder.WIDTH_PMF), scanned as the
+    production per-width ladder over one pangenome graph; sampled motifs
+    must equal their individual single-motif scans exactly."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.bench_jaspar_ladder import WIDTH_PMF
+
+    rng = np.random.default_rng(21)
+    widths = list(WIDTH_PMF)
+    probs = np.array([WIDTH_PMF[w] for w in widths])
+    probs = probs / probs.sum()
+    ks = rng.choice(widths, size=50, p=probs)
+    motifs = [
+        _motif(rng, int(k), f"L{i:02d}") for i, k in enumerate(ks)
+    ]
+    graph = _graph(rng, "m", length=900, n_snp=14)
+    by_width = {}
+    for mo in motifs:
+        by_width.setdefault(mo.width, []).append(mo)
+    assert len(by_width) > 5, "width mix expected"
+    dfs = {}
+    for k in sorted(by_width):
+        rr = build_region_runs(graph, "m", [(0, 900)], k)
+        dfs.update(
+            compute_results_runs(
+                by_width[k], rr, threshold=0.02, recomb=True
+            )
+        )
+    assert set(dfs) == {m.motif_id for m in motifs}
+    assert sum(len(d) for d in dfs.values()) > 0
+    for mi in (0, 17, 43):
+        mo = motifs[mi]
+        rr2 = build_region_runs(graph, "m", [(0, 900)], mo.width)
+        want = compute_results_runs(
+            [mo], rr2, threshold=0.02, recomb=True
+        )[mo.motif_id]
+        pd.testing.assert_frame_equal(
+            dfs[mo.motif_id], want, check_exact=True
+        )
+
+
 def test_whole_genome_24_graph_directory(tmp_path, capsys):
     """Config 4 shape: 24 per-chromosome graphs scanned in one findmotif
     run with mixed-width motifs; q-values are computed over the hit set
