@@ -48,7 +48,7 @@ def _tile_n(m: int) -> int:
 
 def _hist_kernel(
     scores_ref, out_ref, *, spill: int, n_hi: int, m: int, tile: int,
-    op_dtype,
+    op_dtype, lo_w: int,
 ):
     j = pl.program_id(0)
 
@@ -61,8 +61,8 @@ def _hist_kernel(
         s = scores_ref[mi, :]  # (tile,) int32
         # invalid windows (score -1, incl. padding) go to the spill bin
         s = jnp.where(s < 0, jnp.int32(spill), s)
-        hi = s // _LO
-        lo = s - hi * _LO
+        hi = s // lo_w
+        lo = s - hi * lo_w
         # build the hi plane already TRANSPOSED, (n_hi, tile): the dot is
         # then a standard (A, T) x (T, B) matmul — contracting dim 0 of a
         # (T, A) operand costs Mosaic a physical relayout of the whole
@@ -73,38 +73,42 @@ def _hist_kernel(
         ).astype(op_dtype)
         oh_lo = (
             lo[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (tile, _LO), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (tile, lo_w), 1)
         ).astype(op_dtype)
         counts = jax.lax.dot_general(
             oh_hiT,
             oh_lo,
             (((1,), (0,)), ((), ())),
             preferred_element_type=acc_t,
-        ).astype(jnp.int32)  # (n_hi, 256); per-tile counts <= tile, exact
+        ).astype(jnp.int32)  # (n_hi, lo_w); per-tile counts <= tile, exact
         out_ref[mi] += counts
 
 
 @partial(
-    jax.jit, static_argnames=("hist_size", "interpret", "use_int8")
+    jax.jit, static_argnames=("hist_size", "interpret", "use_int8", "lo_w")
 )
 def hist_pallas(
     scores: jnp.ndarray,
     hist_size: int,
     interpret: bool = False,
     use_int8: bool = False,
+    lo_w: int = _LO,
 ) -> jnp.ndarray:
     """Exact integer histogram of ``scores (B, Noff, M) int32`` (negative
     = invalid, dropped).  Returns ``(hist_size, M) int32`` — same contract
     as ``score_runs._exact_hist``.
 
     ``use_int8`` runs the one-hot contraction on the int8 MXU path (2x
-    peak on v5e+); both variants are integer-exact.
+    peak on v5e+); both variants are integer-exact.  ``lo_w`` is the lo
+    radix: 128 (one vreg of lanes) cuts the built one-hot cells per
+    element from ``n_hi + 256`` to ``2*n_hi + 128`` — a win whenever
+    ``n_hi < 128``, i.e. any k <= 32.
     """
     b, noff, m = scores.shape
     assert m <= MAX_M, "JASPAR-scale column counts keep the XLA path"
     n = b * noff
-    n_hi = (hist_size + _LO - 1) // _LO + 1  # + spill row for invalid
-    spill = (n_hi - 1) * _LO
+    n_hi = (hist_size + lo_w - 1) // lo_w + 1  # + spill row for invalid
+    spill = (n_hi - 1) * lo_w
     tile = _tile_n(m)
     cols = jnp.moveaxis(scores.reshape(n, m), 0, 1)  # (M, N)
     pad = (-n) % tile
@@ -122,8 +126,9 @@ def hist_pallas(
             m=m,
             tile=tile,
             op_dtype=jnp.int8 if use_int8 else jnp.bfloat16,
+            lo_w=lo_w,
         ),
-        out_shape=jax.ShapeDtypeStruct((m, n_hi, _LO), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((m, n_hi, lo_w), jnp.int32),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
@@ -131,13 +136,13 @@ def hist_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (m, n_hi, _LO), lambda j: (0, 0, 0),
+            (m, n_hi, lo_w), lambda j: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(cols)
-    # (M, n_hi*256) -> keep the real bins, spill (>= hist_size) dropped
-    return jnp.moveaxis(out.reshape(m, n_hi * _LO)[:, :hist_size], 0, 1)
+    # (M, n_hi*lo_w) -> keep the real bins, spill (>= hist_size) dropped
+    return jnp.moveaxis(out.reshape(m, n_hi * lo_w)[:, :hist_size], 0, 1)
 
 
 _LO2 = 128  # v2 lo-plane width: exactly ONE vreg of lanes

@@ -84,62 +84,66 @@ def _unpack1_u8(packed: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(packed.shape[0], -1)
 
 
-def _shift_select(full: jnp.ndarray, shift: jnp.ndarray, r: int, n: int):
-    """Per-row sub-base alignment: pick ``full[i, shift[i] : shift[i]+r]``
-    with ``shift < n`` via ``select_n`` over n static slices — a
-    vectorised elementwise select instead of a 2-D gather
-    (take_along_axis), which is slow on TPU."""
-    b = full.shape[0]
-    cases = [jax.lax.slice(full, (0, s), (b, s + r)) for s in range(n)]
-    sel = jnp.broadcast_to(shift[:, None].astype(jnp.int32), (b, r))
-    return jax.lax.select_n(sel, *cases)
-
-
 def bytes_to_words(packed: np.ndarray) -> np.ndarray:
-    """HOST-side reinterpretation of a packed byte plane as int32 words
+    """HOST-side reinterpretation of a packed byte plane as uint32 words
     (little-endian: byte ``b`` -> bits ``8b``, so base ``16*w + j`` sits
     at bits ``2j`` of word ``w``).  The resident planes upload as words:
     gathering words instead of bytes quarters the gathered element count
     — measured 2.5x faster expansion on v5e (tools/bench_hist2.py;
-    converting on device instead costs ~6 ms/dispatch in relayouts)."""
+    converting on device instead costs ~6 ms/dispatch in relayouts).
+    uint32 so the expand's sub-word alignment shifts are logical."""
     pad = (-packed.shape[0]) % 4
     if pad:
         packed = np.concatenate([packed, np.zeros(pad, np.uint8)])
-    return np.ascontiguousarray(packed).view(np.int32)
+    return np.ascontiguousarray(packed).view(np.uint32)
+
+
+def _aligned_words(g32: jnp.ndarray, word0, sb, nw: int):
+    """Gather ``nw`` words per row starting at ``word0`` and funnel-shift
+    each row right by ``sb`` bits (per-row, logical): output word ``i``
+    holds bits ``[32*i + sb, 32*(i+1) + sb)`` of the row's word stream.
+    The alignment runs on the (B, nw) WORDS — ~16x less VPU work than
+    selecting among per-code shifted copies of the decoded (B, r) rows.
+    """
+    idx = word0[:, None] + jnp.arange(nw + 1, dtype=word0.dtype)[None, :]
+    idx = jnp.minimum(idx, g32.shape[0] - 1)  # tail rows are masked
+    w = jnp.take(g32, idx, axis=0)  # (B, nw + 1) uint32
+    sb = sb[:, None].astype(jnp.uint32)
+    lo = w[:, :nw] >> sb
+    # (32 - sb) & 31 keeps the shift defined at sb == 0; that case is
+    # overridden by the where below
+    hi = w[:, 1:] << ((jnp.uint32(32) - sb) & jnp.uint32(31))
+    return jnp.where(sb == 0, w[:, :nw], lo | hi)
 
 
 def _expand_resident(g32: jnp.ndarray, gstart: jnp.ndarray, r: int):
     """Device-side window expansion from the HBM-resident packed genome
-    (int32 words, :func:`bytes_to_words`): row i's codes are
+    (uint32 words, :func:`bytes_to_words`): row i's codes are
     ``genome[gstart[i] : gstart[i] + r]``.  The genome crosses the
     host->device link ONCE per scan; each run then costs 4 bytes of
     descriptor instead of ``r/4`` bytes of sequence."""
-    word0 = gstart // 16
-    shift = gstart % 16
-    nwords = (r + 15) // 16 + 1  # >= r + 16 decoded: room for any shift
-    idx = word0[:, None] + jnp.arange(nwords, dtype=gstart.dtype)[None, :]
-    idx = jnp.minimum(idx, g32.shape[0] - 1)  # tail windows are
-    w = jnp.take(g32, idx, axis=0)  # masked invalid by vbits
-    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    nw = (r + 15) // 16
+    w = _aligned_words(g32, gstart // 16, (gstart % 16) * 2, nw)
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
     codes = ((w[:, :, None] >> shifts[None, None, :]) & 3).reshape(
         w.shape[0], -1
-    )  # (B, r + 16) int32
-    return _shift_select(codes, shift, r, 16)
+    )  # (B, nw * 16) uint32
+    return jax.lax.slice(codes, (0, 0), (codes.shape[0], r)).astype(
+        jnp.int32
+    )
 
 
 def _expand_resident_bits(g32: jnp.ndarray, gstart: jnp.ndarray, r: int):
-    """Same word gather for the 1-bit-per-base N plane (int32 words)."""
-    word0 = gstart // 32
-    shift = gstart % 32
-    nwords = (r + 31) // 32 + 1
-    idx = word0[:, None] + jnp.arange(nwords, dtype=gstart.dtype)[None, :]
-    idx = jnp.minimum(idx, g32.shape[0] - 1)
-    w = jnp.take(g32, idx, axis=0)
-    shifts = jnp.arange(32, dtype=jnp.int32)
+    """Same word gather for the 1-bit-per-base N plane (uint32 words)."""
+    nw = (r + 31) // 32
+    w = _aligned_words(g32, gstart // 32, gstart % 32, nw)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = ((w[:, :, None] >> shifts[None, None, :]) & 1).reshape(
         w.shape[0], -1
-    )  # (B, r + 32) int32
-    return _shift_select(bits, shift, r, 32)
+    )  # (B, nw * 32) uint32
+    return jax.lax.slice(bits, (0, 0), (bits.shape[0], r)).astype(
+        jnp.int32
+    )
 
 
 def _pallas_hist_mode() -> str:
@@ -162,7 +166,7 @@ def _pallas_hist_mode() -> str:
     v = os.environ.get("GRAFIMO_PALLAS_HIST", "auto").lower()
     if v in ("1", "on", "true", "bf16"):
         return "bf16"
-    if v in ("int8", "v2bf16", "v2int8"):
+    if v in ("int8", "bf16lo128", "v2bf16", "v2int8"):
         return v
     if v == "auto":
         if (
@@ -197,7 +201,10 @@ def _exact_hist(
             return hist_pallas2(
                 scores, hist_size, use_int8=mode == "v2int8"
             )
-        return hist_pallas(scores, hist_size, use_int8=mode == "int8")
+        return hist_pallas(
+            scores, hist_size, use_int8=mode == "int8",
+            lo_w=128 if mode == "bf16lo128" else 256,
+        )
     b, noff, m = scores.shape
     n_hi = (hist_size + 255) // 256 + 1  # + spill row for invalid
     spill = (n_hi - 1) * 256

@@ -39,6 +39,20 @@ def test_hist_pallas_matches_xla_path():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("lo_w", [256, 128])
+def test_hist_pallas_lo_radix_matches_bincount(lo_w):
+    """The lo-radix parameterisation (one-vreg lo plane) stays
+    bit-identical to the host oracle."""
+    rng = np.random.default_rng(23)
+    hist_size = 19 * 1000 + 1
+    scores = rng.integers(-1, hist_size, (37, 99, 3)).astype(np.int32)
+    got = np.asarray(
+        hist_pallas(scores, hist_size, interpret=True, lo_w=lo_w)
+    )
+    want = hist_pallas_reference(scores, hist_size)
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("use_int8", [False, True])
 def test_hist_pallas2_matches_bincount(use_int8):
     """v2 (lo=128 radix, dtype-native one-hot build) is bit-identical to

@@ -187,6 +187,7 @@ def main() -> None:
 
     for fn, label in (
         (partial(hist_pallas, use_int8=False), "pallas_v1_bf16"),
+        (partial(hist_pallas, use_int8=False, lo_w=128), "pallas_v1_lo128"),
         (partial(hist_pallas2, use_int8=False), "pallas_v2_bf16"),
         (partial(hist_pallas2, use_int8=True), "pallas_v2_int8"),
     ):
@@ -211,6 +212,7 @@ def main() -> None:
     for mode, label in (
         ("off", "full_xla_hist"),
         ("bf16", "full_pallas_v1_bf16"),
+        ("bf16lo128", "full_pallas_v1_lo128"),
         ("v2bf16", "full_pallas_v2_bf16"),
         ("v2int8", "full_pallas_v2_int8"),
     ):
