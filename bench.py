@@ -32,6 +32,11 @@ def _device_main() -> None:
 
     import jax
 
+    # steady-state kernel metric: pin the measured-fastest single-device
+    # histogram backend (compile excluded by the warmup pass; production
+    # 'auto' weighs the uncacheable Mosaic compile against scan volume,
+    # see ops/score_runs._pallas_hist_mode)
+    os.environ.setdefault("GRAFIMO_PALLAS_HIST", "bf16lo128")
     # persistent compile cache: absorbs the TPU tunnel's slow/remote
     # first-compile across bench invocations
     cache_dir = os.path.join(

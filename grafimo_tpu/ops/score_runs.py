@@ -133,6 +133,46 @@ def _expand_resident(g32: jnp.ndarray, gstart: jnp.ndarray, r: int):
     )
 
 
+def _decode_span(
+    g32: jnp.ndarray, lo, n_codes: int, bits: int
+) -> jnp.ndarray:
+    """Decode ``n_codes`` consecutive ``bits``-wide codes starting at
+    element offset ``lo`` (a traced scalar) of the packed word plane —
+    ONE dynamic slice + a scalar funnel shift + elementwise decode, no
+    gather.  The word plane must carry >= 1 word of margin past the last
+    read (``_resident_genome`` pads its planes)."""
+    per = 32 // bits
+    nw = (n_codes + per - 1) // per + 1
+    w = jax.lax.dynamic_slice(g32, (lo // per,), (nw,))
+    sb = ((lo % per) * bits).astype(jnp.uint32)
+    shifted = (w[:-1] >> sb) | jnp.where(
+        sb == 0, jnp.uint32(0), w[1:] << ((jnp.uint32(32) - sb) & 31)
+    )
+    shifts = jnp.arange(per, dtype=jnp.uint32) * bits
+    mask = jnp.uint32((1 << bits) - 1)
+    codes = ((shifted[:, None] >> shifts[None, :]) & mask).reshape(-1)
+    return jax.lax.slice(codes, (0,), (n_codes,)).astype(jnp.int32)
+
+
+def _expand_strided(
+    g32: jnp.ndarray, lo, b: int, stride: int, r: int, bits: int
+) -> jnp.ndarray:
+    """Gather-free expansion for UNIFORMLY STRIDED rows: row ``i`` is
+    ``genome[lo + i*stride : lo + i*stride + r]``.  Backbone chunks of a
+    region step by exactly ``stride = r - k + 1``, so the dominant batch
+    type needs one span decode + reshapes instead of a (B, r/16) word
+    gather — the gather was the expansion's bound (docs/BENCHMARKS.md).
+    Requires ``stride <= r <= 2*stride``."""
+    span = _decode_span(g32, lo, b * stride + r, bits)
+    a = jax.lax.slice(span, (0,), (b * stride,)).reshape(b, stride)
+    tail = jax.lax.slice(span, (stride,), (stride + b * stride,)).reshape(
+        b, stride
+    )
+    return jnp.concatenate(
+        [a, jax.lax.slice(tail, (0, 0), (b, r - stride))], axis=1
+    )
+
+
 def _expand_resident_bits(g32: jnp.ndarray, gstart: jnp.ndarray, r: int):
     """Same word gather for the 1-bit-per-base N plane (uint32 words)."""
     nw = (r + 31) // 32
@@ -146,20 +186,36 @@ def _expand_resident_bits(g32: jnp.ndarray, gstart: jnp.ndarray, r: int):
     )
 
 
+# scan volume (window-strand-motif elements) the enclosing scan is about
+# to dispatch — runscan.scan_batches sets it before its first dispatch so
+# the trace-time backend choice below can weigh compile cost against
+# compute.  Mosaic custom calls do NOT land in the persistent compile
+# cache, so a Pallas variant costs a fresh ~10-90 s compile per
+# (k, m, R) shape per process; at ~0.8 ms saved per M elements it only
+# amortises on genuinely large scans (or long-lived server processes,
+# which should pin GRAFIMO_PALLAS_HIST=bf16).
+SCAN_ELEMS_HINT = float("inf")
+PALLAS_HIST_MIN_ELEMS = float(
+    __import__("os").environ.get("GRAFIMO_PALLAS_HIST_MIN_ELEMS", "1e10")
+)
+
+
 def _pallas_hist_mode() -> str:
-    """``'off' | 'bf16' | 'int8' | 'v2bf16' | 'v2int8'`` — resolved at
-    TRACE time.
+    """``'off' | 'bf16' | 'int8' | 'bf16lo128' | 'v2bf16' | 'v2int8'`` —
+    resolved at TRACE time.
 
     ``GRAFIMO_PALLAS_HIST`` picks the exact-histogram backend
     (measurements: tools/bench_hist2.py, docs/BENCHMARKS.md).  The
     Pallas kernels build the one-hot operands in VMEM instead of
-    streaming them through HBM; v2 additionally uses a one-vreg lo radix
-    and packed-dtype compares (which v5e Mosaic cannot lower — kept for
-    newer generations).  Default ``auto``: the v1 bf16 kernel on a
-    single local TPU device (measured 17% faster full kernel on v5e,
-    bit-identical), the XLA dot everywhere else — a Mosaic kernel is
-    not GSPMD-partitionable across the scan_batches mesh.  Read when
-    the enclosing jit traces; set it before the scan.
+    streaming them through HBM; v2 additionally uses packed-dtype
+    compares (which v5e Mosaic cannot lower — kept for newer
+    generations).  Default ``auto``: the v1 bf16 kernel on a single
+    local TPU device (measured 1.5x faster full kernel on v5e,
+    bit-identical) when the scan is big enough to amortise the
+    uncacheable Mosaic compile (``SCAN_ELEMS_HINT``); the XLA dot
+    everywhere else — a Mosaic kernel is not GSPMD-partitionable
+    across the scan_batches mesh.  Read when the enclosing jit traces;
+    set the env before the scan.
     """
     import os
 
@@ -172,8 +228,9 @@ def _pallas_hist_mode() -> str:
         if (
             jax.default_backend() == "tpu"
             and len(jax.local_devices()) == 1
+            and SCAN_ELEMS_HINT >= PALLAS_HIST_MIN_ELEMS
         ):
-            return "bf16"
+            return "bf16lo128"  # fastest measured variant (bench_hist2)
     return "off"
 
 
@@ -489,6 +546,36 @@ def scan_runs_resident_topk(
     codes = _expand_resident(genome4, gstart, r)
     n_ind = (
         _expand_resident_bits(ngenome, gstart, r)
+        if ngenome is not None
+        else None
+    )
+    hist, hitbits = _score_codes(
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+    )
+    return _topk_package(
+        hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("b", "stride", "r", "k", "hist_size", "topk"),
+    donate_argnums=(0,),
+)
+def scan_runs_resident_strided_topk(
+    hist_acc, genome4, ngenome, lo, vbits, pwm_kernel, min_scores,
+    cutoffs, b: int, stride: int, r: int, k: int, hist_size: int,
+    topk: int,
+):
+    """:func:`scan_runs_resident_topk` for UNIFORMLY STRIDED rows (row i
+    at genome offset ``lo + i*stride``) — the shape of every backbone
+    chunk sequence within one region.  Expansion is one span decode +
+    reshapes (:func:`_expand_strided`); the (B, r/16) word gather, the
+    expansion's measured bound, disappears.  ``lo`` is a traced scalar;
+    the genome planes need the ``_resident_genome`` margin padding."""
+    codes = _expand_strided(genome4, lo, b, stride, r, 2)
+    n_ind = (
+        _expand_strided(ngenome, lo, b, stride, r, 1)
         if ngenome is not None
         else None
     )

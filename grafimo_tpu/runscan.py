@@ -134,9 +134,17 @@ def _resident_genome(graph: SiteGraph):
     pad4 = (-len(codes)) % 4
     if pad4:
         codes = np.concatenate([codes, np.zeros(pad4, np.uint8)])
-    codes4 = bytes_to_words(pack_run_seqs(codes[None, :])[0])
+    # margin past the chromosome end: the strided kernel's span decode
+    # (ops/score_runs._decode_span) reads up to one row length + a word
+    # beyond the last window (a few KB; reads are masked by vbits)
+    margin = np.zeros(BUCKETS[-1] // 4 + 8, np.uint8)
+    codes4 = bytes_to_words(
+        np.concatenate([pack_run_seqs(codes[None, :])[0], margin])
+    )
     nplane = (
-        bytes_to_words(pack_bits(nmask[None, :])[0])
+        bytes_to_words(
+            np.concatenate([pack_bits(nmask[None, :])[0], margin])
+        )
         if nmask.any()
         else None
     )
@@ -752,6 +760,7 @@ def scan_batches(
         scan_runs_device_topk,
         scan_runs_resident_patched_topk,
         scan_runs_resident_spliced_topk,
+        scan_runs_resident_strided_topk,
         scan_runs_resident_topk,
     )
 
@@ -795,6 +804,15 @@ def scan_batches(
     # HBM-resident packed chromosomes, uploaded once per scan
     genome_dev: Dict[int, tuple] = {}
     m = pwm_kernel.shape[-1]
+    # scan-volume hint for the trace-time histogram backend choice
+    # (ops/score_runs._pallas_hist_mode): an uncacheable Mosaic compile
+    # only amortises on large scans.  Kernels already traced keep their
+    # backend (jit cache) — the hint guides first traces only.
+    import grafimo_tpu.ops.score_runs as _sr
+
+    _sr.SCAN_ELEMS_HINT = float(
+        sum(len(b.chunks) * (b.R - k + 1) for b in batches)
+    ) * m
     hits: List[Tuple[Tuple[str, int], int, int]] = []
     t0 = time.perf_counter()
     # everything accumulates on device (donated buffers); ONE device->
@@ -1002,13 +1020,32 @@ def scan_batches(
                             )
                         )
                 else:
-                    hist_acc, hitbits, n_hits, top_idx = (
-                        scan_runs_resident_topk(
-                            hist_acc, g4, gn, _rows(gs), vb,
-                            pwm_dev, mins_dev, cuts_dev, batch.R, k,
-                            hist_size, TOPK,
+                    # uniformly strided slices (whole-region backbone
+                    # chunk sequences) skip the per-row word gather —
+                    # the expansion becomes one span decode + reshapes
+                    stride = batch.R - k + 1
+                    if (
+                        mesh is None
+                        and len(gs) > 1
+                        and 2 * stride >= batch.R
+                        and (np.diff(gs) == stride).all()
+                    ):
+                        hist_acc, hitbits, n_hits, top_idx = (
+                            scan_runs_resident_strided_topk(
+                                hist_acc, g4, gn,
+                                jnp.int32(int(gs[0])), vb, pwm_dev,
+                                mins_dev, cuts_dev, len(gs), stride,
+                                batch.R, k, hist_size, TOPK,
+                            )
                         )
-                    )
+                    else:
+                        hist_acc, hitbits, n_hits, top_idx = (
+                            scan_runs_resident_topk(
+                                hist_acc, g4, gn, _rows(gs), vb,
+                                pwm_dev, mins_dev, cuts_dev, batch.R, k,
+                                hist_size, TOPK,
+                            )
+                        )
             else:
                 nb = batch.nbits[lo:hi]
                 nb = None if not nb.any() else nb

@@ -193,3 +193,46 @@ def test_genome_device_cache_across_scan_calls(input_dir):
     assert graph._genome_dev_cache[1][0] is buf1
     np.testing.assert_array_equal(res1.hists, res2.hists)
     assert sorted(res1.hits) == sorted(res2.hits)
+
+
+def test_strided_kernel_matches_gather():
+    """The gather-free strided expansion (uniform gstart steps) is
+    bit-identical to the per-row gather kernel, N plane included."""
+    from grafimo_tpu.ops.score_runs import (
+        scan_runs_resident_strided_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    k, r, b = 11, 128, 17
+    stride = r - k + 1
+    L = -(-(stride * b + r + 200) // 8) * 8
+    genome = rng.integers(0, 4, L).astype(np.uint8)
+    nmask = np.zeros(L, bool)
+    nmask[rng.integers(0, L, 25)] = True
+    margin = np.zeros(r // 4 + 8, np.uint8)
+    gw = bytes_to_words(
+        np.concatenate([pack_run_seqs(genome[None])[0], margin])
+    )
+    nw = bytes_to_words(
+        np.concatenate([pack_bits(nmask[None])[0], margin])
+    )
+    for lo in (173, 0, 16):  # odd offset exercises the funnel shift
+        gstart = (lo + stride * np.arange(b)).astype(np.int32)
+        noff = r - k + 1
+        valid = rng.random((b, noff)) < 0.9
+        kernel, mins = _kernel(k, rng)
+        cuts = mins + 4000
+        hs = 1000 * k + 1
+        z = jnp.zeros((hs, 1), jnp.int32)
+        h1, hb1, nh1, t1 = scan_runs_resident_topk(
+            z, gw, nw, jnp.asarray(gstart), pack_bits(valid),
+            kernel, mins, cuts, r, k, hs, 64,
+        )
+        z = jnp.zeros((hs, 1), jnp.int32)
+        h2, hb2, nh2, t2 = scan_runs_resident_strided_topk(
+            z, gw, nw, jnp.int32(lo), pack_bits(valid),
+            kernel, mins, cuts, b, stride, r, k, hs, 64,
+        )
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        np.testing.assert_array_equal(np.asarray(hb1), np.asarray(hb2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

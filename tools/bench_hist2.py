@@ -120,6 +120,21 @@ def main() -> None:
         lambda i: expand_only(genome4, gstart, R),
     )
 
+    # --- strided expansion (gather-free) ------------------------------------
+    from grafimo_tpu.ops.score_runs import _expand_strided
+
+    stride = R - k + 1
+
+    @partial(jax.jit, static_argnames=("b", "s", "r"))
+    def expand_strided(g4, lo, b, s, r):
+        return _expand_strided(g4, lo, b, s, r, 2).sum()
+
+    lo0 = jnp.int32(173)
+    results["expand_strided"] = timed(
+        "expand strided (span decode, no gather)",
+        lambda i: expand_strided(genome4, lo0, B, stride, R),
+    )
+
     # --- conv from pre-expanded codes -------------------------------------
     codes_dev = jax.block_until_ready(
         jax.jit(_expand_resident, static_argnums=(2,))(genome4, gstart, R)
@@ -206,6 +221,25 @@ def main() -> None:
         except Exception as e:
             print(f"hist {label} FAILED: {e}", file=sys.stderr)
             results[f"hist_{label}"] = None
+
+    # --- full strided kernel (production path for whole-region scans) -------
+    from grafimo_tpu.ops.score_runs import scan_runs_resident_strided_topk
+
+    os.environ["GRAFIMO_PALLAS_HIST"] = "bf16lo128"
+    jax.clear_caches()
+    state_s = {"h": jnp.zeros((hist_size, m), jnp.int32)}
+
+    def strided_step(i):
+        h, hb, nh, tv = scan_runs_resident_strided_topk(
+            state_s["h"], genome4, None, lo0, None, pwm_dev, mins, cuts,
+            B, stride, R, k, hist_size, 4096,
+        )
+        state_s["h"] = h
+        return h
+
+    results["full_strided_lo128"] = timed(
+        "full kernel strided (lo128 hist)", strided_step
+    )
 
     # --- full production kernel, per hist backend ---------------------------
     checks = {}

@@ -76,8 +76,8 @@ def synth_records(rng, seq: str, H: int, indel_frac: float):
 
 
 def run_one(rng, seq, H, indel_frac, label):
-    t0 = time.perf_counter()
     records, n_indel = synth_records(rng, seq, H, indel_frac)
+    t0 = time.perf_counter()
     graph = build_graph("c", seq, records)
     t_build = time.perf_counter() - t0
     t0 = time.perf_counter()
