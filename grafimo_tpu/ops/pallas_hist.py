@@ -260,6 +260,109 @@ def hist_pallas2(
     return jnp.moveaxis(out.reshape(m, n_hi * _LO2)[:, :hist_size], 0, 1)
 
 
+def _hist3_kernel(
+    scores_ref, out_ref, iota_hi_ref, iota_lo_ref, *, spill: int,
+    n_hi: int, m: int, tile: int, op_dtype,
+):
+    """v3 one-hot build: the bin iotas live in VMEM SCRATCH, generated
+    once at grid step 0 and reused by every subsequent tile — v1
+    regenerates both (n_hi, tile) and (tile, 128) iota planes every
+    grid step, ~1/3 of the per-cell VPU work.  Digit split is shift/
+    mask (lo radix fixed at 128).  Compares stay int32 (v5e Mosaic
+    cannot lower sub-32-bit vector compares — the v2 lesson); only the
+    compare RESULT converts to the matmul operand dtype."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        iota_hi_ref[:] = jax.lax.broadcasted_iota(
+            jnp.int32, (n_hi, tile), 0
+        )
+        iota_lo_ref[:] = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, _LO2), 1
+        )
+
+    acc_t = jnp.float32
+    for mi in range(m):  # static unroll; m <= MAX_M
+        s = scores_ref[mi, :]  # (tile,) int32
+        s = jnp.where(s < 0, jnp.int32(spill), s)
+        hi = s >> 7
+        lo = s & 127
+        oh_hiT = (hi[None, :] == iota_hi_ref[:]).astype(op_dtype)
+        oh_lo = (lo[:, None] == iota_lo_ref[:]).astype(op_dtype)
+        counts = jax.lax.dot_general(
+            oh_hiT,
+            oh_lo,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t,
+        ).astype(jnp.int32)  # (n_hi, 128); per-tile counts <= tile, exact
+        out_ref[mi] += counts
+
+
+@partial(
+    jax.jit, static_argnames=("hist_size", "interpret", "use_f32", "tile")
+)
+def hist_pallas3(
+    scores: jnp.ndarray,
+    hist_size: int,
+    interpret: bool = False,
+    use_f32: bool = False,
+    tile: int = 4096,
+) -> jnp.ndarray:
+    """v3 of :func:`hist_pallas` — same contract; lo=128 radix, bin
+    iotas persisted in VMEM scratch across grid steps (see
+    ``_hist3_kernel``).  ``use_f32`` runs the one-hot contraction with
+    f32 operands: the compare mask (32-bit layout) selects into a
+    same-layout f32 one-hot — no 32->16-bit relayout — at the cost of
+    the slower f32 MXU path.
+
+    MEASURED AND REJECTED on v5e (tools/bench_hist2.py --only-hist,
+    8.3M elems): v1 lo=128 7.99 ms, v3 bf16 8.47 ms, v3 f32 10.42 ms,
+    v3 bf16 tile=8192 9.34 ms — identical checksums.  Iota regeneration
+    is NOT the per-tile bottleneck and scratch residency buys nothing;
+    the 32→16-bit convert is cheaper than the f32 MXU path.  v1 stays
+    the production single-device histogram; v3 is kept exactness-tested
+    for re-measurement on other generations."""
+    b, noff, m = scores.shape
+    assert m <= MAX_M, "JASPAR-scale column counts keep the XLA path"
+    n = b * noff
+    n_hi = (hist_size + _LO2 - 1) // _LO2 + 1  # + spill row for invalid
+    spill = (n_hi - 1) * _LO2
+    cols = jnp.moveaxis(scores.reshape(n, m), 0, 1)  # (M, N)
+    pad = (-n) % tile
+    if pad:
+        cols = jnp.pad(cols, ((0, 0), (0, pad)), constant_values=-1)
+    n_tiles = cols.shape[1] // tile
+    out = pl.pallas_call(
+        partial(
+            _hist3_kernel,
+            spill=spill,
+            n_hi=n_hi,
+            m=m,
+            tile=tile,
+            op_dtype=jnp.float32 if use_f32 else jnp.bfloat16,
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n_hi, _LO2), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (m, tile), lambda j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (m, n_hi, _LO2), lambda j: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_hi, tile), jnp.int32),
+            pltpu.VMEM((tile, _LO2), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cols)
+    return jnp.moveaxis(out.reshape(m, n_hi * _LO2)[:, :hist_size], 0, 1)
+
+
 def hist_pallas_reference(scores: np.ndarray, hist_size: int) -> np.ndarray:
     """Host oracle: per-column ``np.bincount`` over the valid scores."""
     b, noff, m = scores.shape

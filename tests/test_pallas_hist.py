@@ -8,6 +8,7 @@ from grafimo_tpu.ops.pallas_hist import (
     _tile_n,
     hist_pallas,
     hist_pallas2,
+    hist_pallas3,
     hist_pallas_reference,
 )
 
@@ -77,6 +78,25 @@ def test_hist_pallas2_edges_and_multitile():
     scores[0, :4, 0] = [0, hist_size - 1, -1, 127]
     got = np.asarray(hist_pallas2(scores, hist_size, interpret=True))
     want = hist_pallas_reference(scores, hist_size)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() == (scores >= 0).sum()
+
+
+@pytest.mark.parametrize("use_f32", [False, True])
+def test_hist_pallas3_matches_bincount(use_f32):
+    """v3 (scratch-persisted iotas) is bit-identical to the host oracle
+    across the full k=19 score range incl. invalids and >1 tiles."""
+    rng = np.random.default_rng(17)
+    hist_size = 19 * 1000 + 1
+    scores = rng.integers(-1, hist_size, (11, 650, 2)).astype(np.int32)
+    scores[0, :4, 0] = [0, hist_size - 1, -1, 127]
+    got = np.asarray(
+        hist_pallas3(
+            scores, hist_size, interpret=True, use_f32=use_f32, tile=2048
+        )
+    )
+    want = hist_pallas_reference(scores, hist_size)
+    assert got.shape == (hist_size, 2)
     np.testing.assert_array_equal(got, want)
     assert got.sum() == (scores >= 0).sum()
 

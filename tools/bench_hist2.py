@@ -43,7 +43,11 @@ def main() -> None:
 
     from grafimo_tpu.models.parse import load_motifs
     from grafimo_tpu.models.pvalue import PvalueLookup
-    from grafimo_tpu.ops.pallas_hist import hist_pallas, hist_pallas2
+    from grafimo_tpu.ops.pallas_hist import (
+        hist_pallas,
+        hist_pallas2,
+        hist_pallas3,
+    )
     from grafimo_tpu.ops.score_jax import reverse_complement_pwm
     from grafimo_tpu.ops.score_runs import (
         _exact_hist,
@@ -109,11 +113,47 @@ def main() -> None:
         return per
 
     results = {}
+    only_hist = "--only-hist" in sys.argv
 
     # --- expand alone ----------------------------------------------------
     @partial(jax.jit, static_argnames=("r",))
     def expand_only(g4, gs, r):
         return _expand_resident(g4, gs, r).sum()
+
+    if only_hist:
+        scores_host = rng.integers(
+            -1, hist_size, (B, noff, m), dtype=np.int64
+        ).astype(np.int32)
+        scores_dev = jax.device_put(scores_host)
+        for fn, label in (
+            (partial(hist_pallas, use_int8=False, lo_w=128),
+             "pallas_v1_lo128"),
+            (partial(hist_pallas3, use_f32=False), "pallas_v3_bf16"),
+            (partial(hist_pallas3, use_f32=True), "pallas_v3_f32"),
+            (partial(hist_pallas3, use_f32=False, tile=8192),
+             "pallas_v3_bf16_t8k"),
+        ):
+            st2 = {"a": jnp.zeros((hist_size, m), jnp.int32)}
+
+            @partial(jax.jit, static_argnames=("hs",))
+            def p_hist(acc, s, hs, fn=fn):
+                return acc + fn(s, hs)
+
+            def ph_step(i):
+                st2["a"] = p_hist(st2["a"], scores_dev, hist_size)
+                return st2["a"]
+
+            try:
+                results[f"hist_{label}"] = timed(f"hist: {label}", ph_step)
+            except Exception as e:
+                print(f"hist {label} FAILED: {e}", file=sys.stderr)
+                results[f"hist_{label}"] = None
+        print(json.dumps({
+            "device": dev.device_kind,
+            "elems_per_dispatch": elems,
+            "per_iter_s": results,
+        }, indent=2))
+        return
 
     results["expand_only"] = timed(
         "expand_resident only (word gather + select)",
