@@ -104,6 +104,26 @@ def gfa_to_sitegraph(
     ``strict=True`` restores hard errors.
     """
     segments, links, paths, walks = parse_gfa(path)
+    return tuples_to_sitegraph(
+        path, segments, links, paths, walks,
+        chrom=chrom, gbwt=gbwt, strict=strict,
+    )
+
+
+def tuples_to_sitegraph(
+    path: str,
+    segments: Dict[str, str],
+    links: List[Tuple[str, str, str, str]],
+    paths: Dict[str, List[Tuple[str, str]]],
+    walks: List[Tuple[str, int, str, List[str]]],
+    *,
+    chrom: Optional[str] = None,
+    gbwt: Optional[str] = None,
+    strict: bool = False,
+) -> SiteGraph:
+    """Snarl-flattening core shared by the GFA and ``.vg`` protobuf
+    front-ends (``graph/vgproto.py``): both formats reduce to the same
+    (segments, links, paths, walks) tuples; ``path`` labels warnings."""
     if not walks and gbwt:
         from grafimo_tpu.graph.gbwt import gbwt_walks
 

@@ -132,9 +132,10 @@ def _resolve_graph_path(workflow: Findmotif, chrom: str) -> str:
     gvt = os.path.join(workflow.graph_genome_dir, f"{name}{GVT_SUFFIX}")
     if os.path.isfile(gvt):
         return gvt
-    gfa = os.path.join(workflow.graph_genome_dir, f"{name}.gfa")
-    if os.path.isfile(gfa):
-        return gfa
+    for ext in (".gfa", ".vg"):
+        cand = os.path.join(workflow.graph_genome_dir, f"{name}{ext}")
+        if os.path.isfile(cand):
+            return cand
     return gvt
 
 
@@ -148,35 +149,44 @@ def _display_chrom(workflow: Findmotif, chrom: str) -> str:
 
 
 def _xg_conversion_error(path: str) -> GraphError:
-    """Actionable error for vg's own index artifacts: the reference scans
-    ``.xg``/``.vg`` directly through the vg binary (``vg find -x``,
+    """Actionable error for vg's succinct ``.xg`` index: the reference
+    scans it through the vg binary (``vg find -x``,
     ``extract_regions.py:180``, ``workflow.py:629``); this framework
-    consumes their one-time GFA export instead."""
+    reads ``.vg``/``.gfa``/``.gbwt`` natively but ``.xg`` (an sdsl
+    serialization) needs a one-time export."""
     stem = os.path.splitext(path)[0]
     return GraphError(
-        f"{path} is a vg index artifact, which this framework does not "
-        f"read directly. Export it once to GFA with\n\n"
-        f"    vg view -g {path} > {stem}.gfa\n\n"
-        f"(a {os.path.basename(stem)}.gbwt sidecar next to the GFA is "
+        f"{path} is a vg succinct index, which this framework does not "
+        f"read directly. Export it once with\n\n"
+        f"    vg convert -p {path} > {stem}.vg\n"
+        f"    (or: vg view -g {path} > {stem}.gfa)\n\n"
+        f"(a {os.path.basename(stem)}.gbwt sidecar next to the export is "
         f"imported natively for the haplotype panel) and re-run against "
-        f"the .gfa."
+        f"the exported graph."
     )
 
 
 def load_graph_file(path: str) -> SiteGraph:
-    """Load a variation graph: native ``.gvt.npz`` or a vg-exported
-    ``.gfa`` (``vg view -g``), see ``graph/gfa.py``.  A ``.gbwt`` sidecar
-    next to a W-line-less GFA supplies the haplotype panel
-    (``graph/gbwt.py``)."""
-    if path.endswith((".xg", ".vg")):
+    """Load a variation graph: native ``.gvt.npz``, a vg protobuf
+    ``.vg`` (``graph/vgproto.py``), or a vg-exported ``.gfa``
+    (``graph/gfa.py``).  A ``.gbwt`` sidecar next to a ``.vg`` or
+    W-line-less GFA supplies the haplotype panel (``graph/gbwt.py``)."""
+    if path.endswith(".xg"):
         raise _xg_conversion_error(path)
-    if path.endswith(".gfa"):
-        from grafimo_tpu.graph.gfa import gfa_to_sitegraph
-
-        gbwt = path[: -len(".gfa")] + ".gbwt"
-        return gfa_to_sitegraph(
-            path, gbwt=gbwt if os.path.isfile(gbwt) else None
-        )
+    for ext, loader_name in ((".gfa", "gfa"), (".vg", "vgproto")):
+        if path.endswith(ext):
+            if loader_name == "gfa":
+                from grafimo_tpu.graph.gfa import (
+                    gfa_to_sitegraph as loader,
+                )
+            else:
+                from grafimo_tpu.graph.vgproto import (
+                    vg_to_sitegraph as loader,
+                )
+            gbwt = path[: -len(ext)] + ".gbwt"
+            return loader(
+                path, gbwt=gbwt if os.path.isfile(gbwt) else None
+            )
     return SiteGraph.load(path)
 
 
@@ -208,9 +218,8 @@ def _load_graphs(
         path = _resolve_graph_path(workflow, chrom)
         if not os.path.isfile(path):
             stem = path[: -len(GVT_SUFFIX)]
-            for ext in (".xg", ".vg"):
-                if os.path.isfile(stem + ext):
-                    raise _xg_conversion_error(stem + ext)
+            if os.path.isfile(stem + ".xg"):
+                raise _xg_conversion_error(stem + ".xg")
             raise GraphError(
                 f"unable to locate {path} — are your graphs named with "
                 f'"chr"? Consider --chroms-prefix-find or '
