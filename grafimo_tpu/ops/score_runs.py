@@ -300,7 +300,7 @@ def _exact_hist(
 
 def _scan_core(
     packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k: int,
-    hist_size: int, allow_pallas: bool = True,
+    hist_size: int, allow_pallas: bool = True, hist_bases=None,
 ):
     """``nbits``/``vbits`` may be ``None`` (static, trace-time): a clean
     batch (no N bases / every offset valid) then skips the mask upload
@@ -311,7 +311,7 @@ def _scan_core(
     n_ind = _unpack1(nbits, r) if nbits is not None else None
     return _score_codes(
         codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size,
-        allow_pallas=allow_pallas,
+        allow_pallas=allow_pallas, hist_bases=hist_bases,
     )
 
 
@@ -385,7 +385,7 @@ def _window_scores(codes, pwm_kernel, k: int) -> jnp.ndarray:
 
 def _score_codes(
     codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k: int,
-    hist_size: int, allow_pallas: bool = True,
+    hist_size: int, allow_pallas: bool = True, hist_bases=None,
 ):
     b = codes.shape[0]
     r = codes.shape[1]
@@ -405,7 +405,25 @@ def _score_codes(
     if vbits is not None:
         valid = _unpack1(vbits, noff).astype(bool)  # (B, Noff)
         scores = jnp.where(valid[:, :, None], scores, jnp.int32(-1))
-    hist = _exact_hist(scores, hist_size, allow_pallas=allow_pallas)
+    if hist_bases is not None:
+        # Per-column histogram COMPRESSION (exact): real window scores
+        # of column m can only fall in [base_m, top_m] with base_m =
+        # sum_j min_nuc pwm[j,:,m] — typically ~40-50% of the full
+        # [0, RANGE*k] span (docs/BENCHMARKS.md) — so the one-hot
+        # planes and their MXU contraction shrink proportionally.
+        # Device bins: 0 = the N-window replacement value min_scores[m]
+        # (the only possible sub-base score), 1+i = score base_m + i,
+        # invalid stays -1 (kernel spill).  The host expands bins back
+        # to absolute scores at each flush (runscan._flush) — a linear
+        # remap, exact and psum-compatible.
+        h = jnp.where(
+            scores < 0,
+            jnp.int32(-1),
+            jnp.maximum(scores - hist_bases[None, None, :] + 1, 0),
+        )
+    else:
+        h = scores
+    hist = _exact_hist(h, hist_size, allow_pallas=allow_pallas)
     # packed hit bits
     hit = (scores >= cutoffs[None, None, :]) & (scores >= 0)
     pad = (-noff) % 8
@@ -419,15 +437,19 @@ def _score_codes(
 @partial(jax.jit, static_argnames=("k", "hist_size"))
 def scan_runs_device(
     packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k: int,
-    hist_size: int,
+    hist_size: int, hist_bases=None,
 ):
     """Scan a padded run batch.
 
     Returns ``(hist (hist_size, M) int32, hitbits (B, ceil(Noff/8), M)
-    uint8)``.
+    uint8)``.  With ``hist_bases`` (an ``(M,)`` int32 of per-column
+    window-score minima) the histogram is per-column COMPRESSED — see
+    :func:`_score_codes`; ``hist_size`` is then the compressed size
+    ``max_m(top_m - base_m) + 2``.
     """
     return _scan_core(
-        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k,
+        hist_size, hist_bases=hist_bases,
     )
 
 
@@ -436,7 +458,7 @@ def scan_runs_device(
 )
 def scan_runs_device_topk(
     hist_acc, packed, nbits, vbits, pwm_kernel, min_scores, cutoffs,
-    k: int, hist_size: int, topk: int,
+    k: int, hist_size: int, topk: int, hist_bases=None,
 ):
     """Accumulating scan with on-device hit compaction.
 
@@ -447,7 +469,8 @@ def scan_runs_device_topk(
     C-order over ``(row, offset, motif)``.
     """
     hist, hitbits = _scan_core(
-        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k,
+        hist_size, hist_bases=hist_bases,
     )
     noff = packed.shape[1] * 4 - k + 1
     return _topk_package(
@@ -535,7 +558,7 @@ def _topk_package(hist_acc, hist, hitbits, noff: int, m: int, topk: int):
 )
 def scan_runs_resident_topk(
     hist_acc, genome4, ngenome, gstart, vbits, pwm_kernel, min_scores,
-    cutoffs, r: int, k: int, hist_size: int, topk: int,
+    cutoffs, r: int, k: int, hist_size: int, topk: int, hist_bases=None,
 ):
     """Device-resident variant of :func:`scan_runs_device_topk`: rows are
     expanded on device from the HBM-resident packed genome (``genome4``,
@@ -550,7 +573,8 @@ def scan_runs_resident_topk(
         else None
     )
     hist, hitbits = _score_codes(
-        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k,
+        hist_size, hist_bases=hist_bases,
     )
     return _topk_package(
         hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
@@ -565,7 +589,7 @@ def scan_runs_resident_topk(
 def scan_runs_resident_strided_topk(
     hist_acc, genome4, ngenome, lo, vbits, pwm_kernel, min_scores,
     cutoffs, b: int, stride: int, r: int, k: int, hist_size: int,
-    topk: int,
+    topk: int, hist_bases=None,
 ):
     """:func:`scan_runs_resident_topk` for UNIFORMLY STRIDED rows (row i
     at genome offset ``lo + i*stride``) — the shape of every backbone
@@ -580,7 +604,8 @@ def scan_runs_resident_strided_topk(
         else None
     )
     hist, hitbits = _score_codes(
-        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k,
+        hist_size, hist_bases=hist_bases,
     )
     return _topk_package(
         hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
@@ -613,6 +638,7 @@ def _apply_patches(codes: jnp.ndarray, patches: jnp.ndarray) -> jnp.ndarray:
 def scan_runs_resident_patched_topk(
     hist_acc, genome4, ngenome, gstart, patches, vbits, pwm_kernel,
     min_scores, cutoffs, r: int, k: int, hist_size: int, topk: int,
+    hist_bases=None,
 ):
     """Resident scan of CLUSTER combination runs that differ from the
     reference genome only by substitutions: each row crosses the link as
@@ -627,7 +653,8 @@ def scan_runs_resident_patched_topk(
         else None
     )
     hist, hitbits = _score_codes(
-        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k,
+        hist_size, hist_bases=hist_bases,
     )
     return _topk_package(
         hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
@@ -656,6 +683,7 @@ def _clear_at_patches(plane: jnp.ndarray, patches: jnp.ndarray):
 def scan_runs_resident_spliced_topk(
     hist_acc, genome4, ngenome, gstart, splice, patches, vbits, pwm_kernel,
     min_scores, cutoffs, r: int, k: int, hist_size: int, topk: int,
+    hist_bases=None,
 ):
     """Resident scan of CLUSTER combination runs containing INDELS: each
     row is the genome spliced piecewise — row ``i`` starts as
@@ -697,7 +725,8 @@ def scan_runs_resident_spliced_topk(
     if n_ind is not None:
         n_ind = _clear_at_patches(n_ind, patches)
     hist, hitbits = _score_codes(
-        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+        codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k,
+        hist_size, hist_bases=hist_bases,
     )
     return _topk_package(
         hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
@@ -741,7 +770,7 @@ def package_block(hist_acc, nh_acc, top_acc, n: int):
 @partial(jax.jit, static_argnames=("k", "hist_size"), donate_argnums=(0,))
 def scan_runs_device_acc(
     hist_acc, packed, nbits, vbits, pwm_kernel, min_scores, cutoffs,
-    k: int, hist_size: int,
+    k: int, hist_size: int, hist_bases=None,
 ):
     """Accumulating variant: adds this batch's histogram into the donated
     device-resident accumulator and also returns the batch hit count, so
@@ -751,7 +780,8 @@ def scan_runs_device_acc(
     fetched once per scan; device->host round trips through the TPU
     tunnel are expensive)."""
     hist, hitbits = _scan_core(
-        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k, hist_size
+        packed, nbits, vbits, pwm_kernel, min_scores, cutoffs, k,
+        hist_size, hist_bases=hist_bases,
     )
     # popcount of the packed hit bits = number of hits in this batch
     n_hits = jnp.sum(

@@ -801,6 +801,37 @@ def scan_batches(
     pwm_dev = _rep(pwm_kernel)
     mins_dev = _rep(min_scores.astype(np.int32))
     cuts_dev = _rep(cutoffs.astype(np.int32))
+    # Exact per-column histogram compression: column m's window scores
+    # can only fall in [base_m, top_m] = [sum_j min, sum_j max] of its
+    # PWM columns (~40-50% of the full RANGE*k span for real motifs),
+    # plus the N-window replacement value min_scores[m].  Device
+    # histograms run over the compressed bins (0 = N value, 1+i =
+    # base_m + i; ops/score_runs._score_codes) and expand back to
+    # absolute scores at each flush — shrinking the one-hot planes,
+    # their MXU contraction, and the per-flush wire proportionally.
+    # PWM entries are integers <= 1020 held exactly in f32, so the
+    # sums below are exact.
+    pwm_np = np.asarray(pwm_kernel)
+    # Gated to the single-device path like the Pallas histogram: under
+    # GSPMD the smaller contraction flips the partitioner to an
+    # all-gather strategy whose overlapped rendezvous deadlocks XLA:CPU's
+    # in-process communicator (deterministic abort, observed round 3 at
+    # one ladder shape).  Multi-HOST runs (one device per process, mesh
+    # None) still compress — the cross-host psum happens on the already-
+    # expanded full histogram.  GRAFIMO_HIST_COMPRESS=force re-enables
+    # under a mesh (for re-evaluation on real multi-chip TPU), =off
+    # disables everywhere.
+    _comp_env = os.environ.get("GRAFIMO_HIST_COMPRESS", "on")
+    if _comp_env != "off" and (mesh is None or _comp_env == "force"):
+        hist_bases = pwm_np.min(axis=1).sum(axis=0).astype(np.int64)
+        hist_tops = pwm_np.max(axis=1).sum(axis=0).astype(np.int64)
+    else:
+        hist_bases = np.zeros(pwm_np.shape[-1], np.int64)
+        hist_tops = np.full(pwm_np.shape[-1], hist_size - 1, np.int64)
+    hist_spans = hist_tops - hist_bases + 1
+    comp_size = int(hist_spans.max()) + 1
+    bases_dev = _rep(hist_bases.astype(np.int32))
+    mins_i64 = min_scores.astype(np.int64)
     # HBM-resident packed chromosomes, uploaded once per scan
     genome_dev: Dict[int, tuple] = {}
     m = pwm_kernel.shape[-1]
@@ -819,10 +850,25 @@ def scan_batches(
     # host round trip per FLUSH_SLICES slices fetches histogram + hit
     # counts + compacted hit indices together (tunnel round trips cost
     # up to ~0.7s each — they, not bandwidth, dominate genome scans)
-    hist_acc = _rep(jnp.zeros((hist_size, m), jnp.int32))
+    hist_acc = _rep(jnp.zeros((comp_size, m), jnp.int32))
     nh_acc = _rep(jnp.zeros((FLUSH_SLICES,), jnp.int32))
     top_acc = _rep(jnp.zeros((FLUSH_SLICES, SMALLK), jnp.int32))
     hist_host = np.zeros((hist_size, m), dtype=np.int64)
+
+    def _absorb_comp(comp: np.ndarray) -> None:
+        """Expand one compressed device histogram block into the
+        absolute-score accumulator (linear, exact: bin 0 is the
+        N-window value min_scores[col], bin 1+i is base_col + i)."""
+        for col in range(m):
+            b0 = int(hist_bases[col])
+            sp = int(hist_spans[col])
+            hist_host[int(mins_i64[col]), col] += int(comp[0, col])
+            hist_host[b0 : b0 + sp, col] += comp[1 : 1 + sp, col]
+            if comp[1 + sp :, col].any():
+                raise _DeviceHostMismatch(
+                    "device histogram holds scores above the motif's "
+                    "maximum possible score — device scoring fault"
+                )
     # per-slice entries [batch, row0, hitbits, top_idx, n_hits, top_small]
     pending: List[list] = []
     n_in_block = 0
@@ -886,9 +932,9 @@ def scan_batches(
                 hist_acc, nh_acc, top_acc, n_pow2 if n_in_block else 0
             )
         )
-        hs = hist_size * m
-        hist_host[:, :] += flat[:hs].astype(np.int64).reshape(hist_size, m)
-        hist_acc = _rep(jnp.zeros((hist_size, m), jnp.int32))
+        hs = comp_size * m
+        _absorb_comp(flat[:hs].astype(np.int64).reshape(comp_size, m))
+        hist_acc = _rep(jnp.zeros((comp_size, m), jnp.int32))
         # the fetch above is a stream barrier: every enqueued slice has
         # executed by the time it returns
         slices_confirmed = slices_done
@@ -1008,7 +1054,8 @@ def scan_batches(
                             scan_runs_resident_spliced_topk(
                                 hist_acc, g4, gn, _rows(gs), _rows(sp),
                                 _rows(pt), vb, pwm_dev, mins_dev,
-                                cuts_dev, batch.R, k, hist_size, TOPK,
+                                cuts_dev, batch.R, k, comp_size, TOPK,
+                                hist_bases=bases_dev,
                             )
                         )
                     else:
@@ -1016,7 +1063,7 @@ def scan_batches(
                             scan_runs_resident_patched_topk(
                                 hist_acc, g4, gn, _rows(gs), _rows(pt),
                                 vb, pwm_dev, mins_dev, cuts_dev, batch.R,
-                                k, hist_size, TOPK,
+                                k, comp_size, TOPK, hist_bases=bases_dev,
                             )
                         )
                 else:
@@ -1035,7 +1082,8 @@ def scan_batches(
                                 hist_acc, g4, gn,
                                 jnp.int32(int(gs[0])), vb, pwm_dev,
                                 mins_dev, cuts_dev, len(gs), stride,
-                                batch.R, k, hist_size, TOPK,
+                                batch.R, k, comp_size, TOPK,
+                                hist_bases=bases_dev,
                             )
                         )
                     else:
@@ -1043,7 +1091,7 @@ def scan_batches(
                             scan_runs_resident_topk(
                                 hist_acc, g4, gn, _rows(gs), vb,
                                 pwm_dev, mins_dev, cuts_dev, batch.R, k,
-                                hist_size, TOPK,
+                                comp_size, TOPK, hist_bases=bases_dev,
                             )
                         )
             else:
@@ -1062,7 +1110,8 @@ def scan_batches(
                     nb = _rows(nb)
                 hist_acc, hitbits, n_hits, top_idx = scan_runs_device_topk(
                     hist_acc, _rows(pk), nb, vb,
-                    pwm_dev, mins_dev, cuts_dev, k, hist_size, TOPK,
+                    pwm_dev, mins_dev, cuts_dev, k, comp_size, TOPK,
+                    hist_bases=bases_dev,
                 )
             since_flush += 1
             slices_done += 1
