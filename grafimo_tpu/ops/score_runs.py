@@ -173,6 +173,60 @@ def _expand_strided(
     )
 
 
+@jax.jit
+def onehot_genome(g32: jnp.ndarray) -> jnp.ndarray:
+    """ONE-TIME device-side decode of the packed word genome into its
+    ``(L, 4) bf16`` one-hot plane.  The per-dispatch expansion then
+    becomes a dynamic slice + contiguous reshape feeding the MXU conv
+    directly — no word decode, no 2-bit interleave relayout, no one-hot
+    build (the decode+interleave was the strided kernel's measured bound:
+    2.7 ms/dispatch; the one-hot build another 2.2, docs/BENCHMARKS.md).
+    Cost: 8 bytes/base of HBM, paid once per scan per chromosome (the
+    caller keeps at most one one-hot genome resident at a time)."""
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = ((g32[:, None] >> shifts[None, :]) & 3).reshape(-1)
+    return (
+        codes[:, None] == jnp.arange(4, dtype=jnp.uint32)[None, :]
+    ).astype(jnp.bfloat16)
+
+
+@jax.jit
+def nplane_genome(n32: jnp.ndarray) -> jnp.ndarray:
+    """One-time decode of the packed N-indicator words into an
+    ``(L,) int8`` plane (companion of :func:`onehot_genome`)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return ((n32[:, None] >> shifts[None, :]) & 1).astype(jnp.int8).reshape(-1)
+
+
+def _slice_strided_onehot(goh: jnp.ndarray, lo, b: int, stride: int, r: int):
+    """(b, r, 4) one-hot rows for uniformly strided offsets, as one
+    dynamic slice of the resident one-hot genome + contiguous reshapes
+    (the `_expand_strided` overlap trick, lifted to the one-hot plane).
+    Requires ``stride <= r <= 2*stride``."""
+    span = jax.lax.dynamic_slice(
+        goh, (lo, 0), (b * stride + r, 4)
+    )
+    a = jax.lax.slice(span, (0, 0), (b * stride, 4)).reshape(b, stride, 4)
+    tail = jax.lax.slice(
+        span, (stride, 0), (stride + b * stride, 4)
+    ).reshape(b, stride, 4)
+    return jnp.concatenate(
+        [a, jax.lax.slice(tail, (0, 0, 0), (b, r - stride, 4))], axis=1
+    )
+
+
+def _slice_strided_plane(p8: jnp.ndarray, lo, b: int, stride: int, r: int):
+    """Same overlap trick for a 1-D int8 per-base plane -> (b, r) int32."""
+    span = jax.lax.dynamic_slice(p8, (lo,), (b * stride + r,))
+    a = jax.lax.slice(span, (0,), (b * stride,)).reshape(b, stride)
+    tail = jax.lax.slice(span, (stride,), (stride + b * stride,)).reshape(
+        b, stride
+    )
+    return jnp.concatenate(
+        [a, jax.lax.slice(tail, (0, 0), (b, r - stride))], axis=1
+    ).astype(jnp.int32)
+
+
 def _expand_resident_bits(g32: jnp.ndarray, gstart: jnp.ndarray, r: int):
     """Same word gather for the 1-bit-per-base N plane (uint32 words)."""
     nw = (r + 31) // 32
@@ -369,6 +423,13 @@ def _window_scores(codes, pwm_kernel, k: int) -> jnp.ndarray:
     onehot = (
         codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.bfloat16)
+    return _conv_onehot(onehot, pwm_kernel)
+
+
+def _conv_onehot(onehot: jnp.ndarray, pwm_kernel) -> jnp.ndarray:
+    """The exact MXU conv over an already one-hot ``(B, R, 4)`` bf16
+    input (see :func:`_window_scores` for the bf16-exact plane split)."""
+    m_cols = pwm_kernel.shape[-1]
     k_hi = jnp.floor(pwm_kernel / 4) * 4
     k_lo = pwm_kernel - k_hi
     split = jnp.concatenate([k_hi, k_lo], axis=-1).astype(jnp.bfloat16)
@@ -387,11 +448,20 @@ def _score_codes(
     codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k: int,
     hist_size: int, allow_pallas: bool = True, hist_bases=None,
 ):
-    b = codes.shape[0]
-    r = codes.shape[1]
-    noff = r - k + 1
     scores = _window_scores(codes, pwm_kernel, k)  # (B, Noff, M) int32
-    m = scores.shape[-1]
+    return _finish_scores(
+        scores, n_ind, vbits, min_scores, cutoffs, k, hist_size,
+        allow_pallas=allow_pallas, hist_bases=hist_bases,
+    )
+
+
+def _finish_scores(
+    scores, n_ind, vbits, min_scores, cutoffs, k: int, hist_size: int,
+    allow_pallas: bool = True, hist_bases=None,
+):
+    """Masking + histogram + hit packing over raw window scores (shared
+    by the codes and resident-one-hot front-ends)."""
+    b, noff, m = scores.shape
     if n_ind is not None:
         # N-window detection via cumulative sums of the N indicator
         cum = jnp.concatenate(
@@ -513,33 +583,49 @@ def _topk_package(hist_acc, hist, hitbits, noff: int, m: int, topk: int):
     c = noff * m
     pred = bits.reshape(b, c).astype(jnp.int32)  # (B, C) 0/1
     cnt = pred.sum(axis=1)  # (B,) hits per row
-    rank = jnp.cumsum(pred, axis=1)  # within-row rank (1-based at hits)
-    base = jnp.cumsum(cnt) - cnt  # (B,) exclusive prefix: global position
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
-    gidx = (
-        jax.lax.broadcasted_iota(jnp.int32, (b, c), 0) * c + iota_c + 1
-    )  # flat window index + 1 (C-order over row, offset, motif)
-    slot_cols = [
-        jnp.sum(
-            jnp.where((rank == (s + 1)) & (pred > 0), gidx, 0), axis=1
-        )
-        for s in range(_ROW_SLOTS)
-    ]  # XLA fuses these sibling reductions into one pass over (B, C)
-    slot_mat = jnp.stack(slot_cols, axis=1)  # (B, S)
     k_slots = min(topk, b * _ROW_SLOTS)
-    srange = jnp.arange(_ROW_SLOTS, dtype=jnp.int32)
-    valid = srange[None, :] < jnp.minimum(cnt, _ROW_SLOTS)[:, None]
-    tgt = jnp.where(
-        valid,
-        jnp.minimum(base[:, None] + srange[None, :], k_slots - 1),
-        k_slots,
-    )
-    top_vals = (
-        jnp.zeros((k_slots,), jnp.int32)
-        .at[tgt.reshape(-1)]
-        .max(slot_mat.reshape(-1), mode="drop")
-    )
+
+    def _extract(args):
+        # within-row ranks + slot extraction + candidate scatter: the
+        # expensive stages (one cumsum + _ROW_SLOTS fused reductions
+        # over (B, C)) — only executed when the slice has hits at all.
+        # In production scans nearly every slice is hitless (p < 1e-4),
+        # so the lax.cond skips ~all of the packaging cost (TPU
+        # conditionals execute only the taken branch).
+        pred, cnt = args
+        rank = jnp.cumsum(pred, axis=1)  # within-row rank (1-based)
+        base = jnp.cumsum(cnt) - cnt  # exclusive prefix: global position
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+        gidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, c), 0) * c + iota_c + 1
+        )  # flat window index + 1 (C-order over row, offset, motif)
+        slot_cols = [
+            jnp.sum(
+                jnp.where((rank == (s + 1)) & (pred > 0), gidx, 0), axis=1
+            )
+            for s in range(_ROW_SLOTS)
+        ]  # XLA fuses these sibling reductions into one pass over (B, C)
+        slot_mat = jnp.stack(slot_cols, axis=1)  # (B, S)
+        srange = jnp.arange(_ROW_SLOTS, dtype=jnp.int32)
+        valid = srange[None, :] < jnp.minimum(cnt, _ROW_SLOTS)[:, None]
+        tgt = jnp.where(
+            valid,
+            jnp.minimum(base[:, None] + srange[None, :], k_slots - 1),
+            k_slots,
+        )
+        return (
+            jnp.zeros((k_slots,), jnp.int32)
+            .at[tgt.reshape(-1)]
+            .max(slot_mat.reshape(-1), mode="drop")
+        )
+
     n_hits = cnt.sum().astype(jnp.int32)
+    top_vals = jax.lax.cond(
+        n_hits > 0,
+        _extract,
+        lambda args: jnp.zeros((k_slots,), jnp.int32),
+        (pred, cnt),
+    )
     # a row overflowing its slots invalidates the compacted list even
     # when n_hits <= topk: report past topk to force the bitmask tier
     n_hits = jnp.where(
@@ -606,6 +692,39 @@ def scan_runs_resident_strided_topk(
     hist, hitbits = _score_codes(
         codes, n_ind, vbits, pwm_kernel, min_scores, cutoffs, k,
         hist_size, hist_bases=hist_bases,
+    )
+    return _topk_package(
+        hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("b", "stride", "r", "k", "hist_size", "topk"),
+    donate_argnums=(0,),
+)
+def scan_runs_resident_onehot_topk(
+    hist_acc, goh, gn8, lo, vbits, pwm_kernel, min_scores,
+    cutoffs, b: int, stride: int, r: int, k: int, hist_size: int,
+    topk: int, hist_bases=None,
+):
+    """:func:`scan_runs_resident_strided_topk` over the RESIDENT ONE-HOT
+    genome (:func:`onehot_genome`, built on device once per chromosome):
+    the expansion is a dynamic slice + contiguous reshapes feeding the
+    MXU conv directly — the per-dispatch word decode, 2-bit interleave
+    relayout and one-hot build all disappear (measured ~4.8 ms of the
+    10.5 ms strided kernel, docs/BENCHMARKS.md).  HBM cost: 8 bytes/base
+    + 1 byte/base N plane, one chromosome resident at a time."""
+    onehot = _slice_strided_onehot(goh, lo, b, stride, r)
+    n_ind = (
+        _slice_strided_plane(gn8, lo, b, stride, r)
+        if gn8 is not None
+        else None
+    )
+    scores = _conv_onehot(onehot, pwm_kernel)
+    hist, hitbits = _finish_scores(
+        scores, n_ind, vbits, min_scores, cutoffs, k, hist_size,
+        hist_bases=hist_bases,
     )
     return _topk_package(
         hist_acc, hist, hitbits, r - k + 1, pwm_kernel.shape[-1], topk

@@ -756,8 +756,11 @@ def scan_batches(
 
     from grafimo_tpu.ops.score_runs import (
         absorb_slice,
+        nplane_genome,
+        onehot_genome,
         package_block,
         scan_runs_device_topk,
+        scan_runs_resident_onehot_topk,
         scan_runs_resident_patched_topk,
         scan_runs_resident_spliced_topk,
         scan_runs_resident_strided_topk,
@@ -812,28 +815,24 @@ def scan_batches(
     # PWM entries are integers <= 1020 held exactly in f32, so the
     # sums below are exact.
     pwm_np = np.asarray(pwm_kernel)
-    # Gated to the single-device path like the Pallas histogram: under
-    # GSPMD the smaller contraction flips the partitioner to an
-    # all-gather strategy whose overlapped rendezvous deadlocks XLA:CPU's
-    # in-process communicator (deterministic abort, observed round 3 at
-    # one ladder shape).  Multi-HOST runs (one device per process, mesh
-    # None) still compress — the cross-host psum happens on the already-
-    # expanded full histogram.  GRAFIMO_HIST_COMPRESS=force re-enables
-    # under a mesh (for re-evaluation on real multi-chip TPU), =off
-    # disables everywhere.
-    _comp_env = os.environ.get("GRAFIMO_HIST_COMPRESS", "on")
-    if _comp_env != "off" and (mesh is None or _comp_env == "force"):
-        hist_bases = pwm_np.min(axis=1).sum(axis=0).astype(np.int64)
-        hist_tops = pwm_np.max(axis=1).sum(axis=0).astype(np.int64)
-    else:
-        hist_bases = np.zeros(pwm_np.shape[-1], np.int64)
-        hist_tops = np.full(pwm_np.shape[-1], hist_size - 1, np.int64)
-    hist_spans = hist_tops - hist_bases + 1
-    comp_size = int(hist_spans.max()) + 1
-    bases_dev = _rep(hist_bases.astype(np.int32))
-    mins_i64 = min_scores.astype(np.int64)
     # HBM-resident packed chromosomes, uploaded once per scan
     genome_dev: Dict[int, tuple] = {}
+    # resident ONE-HOT genome (8 bytes/base + 1 byte/base N plane),
+    # decoded on device once per chromosome for the strided fast path;
+    # at most one chromosome's one-hot planes stay resident at a time
+    # (LRU-1: whole-genome scans visit chromosomes in batch order)
+    onehot_dev: Dict[int, tuple] = {}
+
+    def _onehot_for(graph):
+        gkey = id(graph)
+        if gkey not in onehot_dev:
+            onehot_dev.clear()
+            g4, gn = genome_dev[gkey]
+            goh = onehot_genome(g4)
+            gn8 = nplane_genome(gn) if gn is not None else None
+            onehot_dev[gkey] = (goh, gn8)
+        return onehot_dev[gkey]
+
     m = pwm_kernel.shape[-1]
     # scan-volume hint for the trace-time histogram backend choice
     # (ops/score_runs._pallas_hist_mode): an uncacheable Mosaic compile
@@ -844,6 +843,33 @@ def scan_batches(
     _sr.SCAN_ELEMS_HINT = float(
         sum(len(b.chunks) * (b.R - k + 1) for b in batches)
     ) * m
+    # Compression rides the Pallas-histogram decision: measured on v5e it
+    # trims the Pallas full kernel (11.07 vs 11.37 ms) but REGRESSES the
+    # XLA-dot histogram (21.6 vs 15.1 ms — the smaller hi plane lands on
+    # a worse XLA contraction schedule), and under GSPMD the smaller
+    # contraction flips XLA:CPU's partitioner to an all-gather strategy
+    # whose overlapped rendezvous deadlocks the in-process communicator
+    # (deterministic abort, round 3).  Multi-HOST runs (one device per
+    # process, mesh None, big shards) still qualify — the cross-host
+    # psum happens on the already-expanded full histogram.
+    # GRAFIMO_HIST_COMPRESS: auto (default) | force | off.
+    _comp_env = os.environ.get("GRAFIMO_HIST_COMPRESS", "auto")
+    use_comp = _comp_env == "force" or (
+        _comp_env not in ("off",)
+        and mesh is None
+        and m <= 16  # pallas_hist.MAX_M
+        and _sr._pallas_hist_mode() != "off"
+    )
+    if use_comp:
+        hist_bases = pwm_np.min(axis=1).sum(axis=0).astype(np.int64)
+        hist_tops = pwm_np.max(axis=1).sum(axis=0).astype(np.int64)
+    else:
+        hist_bases = np.zeros(pwm_np.shape[-1], np.int64)
+        hist_tops = np.full(pwm_np.shape[-1], hist_size - 1, np.int64)
+    hist_spans = hist_tops - hist_bases + 1
+    comp_size = int(hist_spans.max()) + 1
+    bases_dev = _rep(hist_bases.astype(np.int32))
+    mins_i64 = min_scores.astype(np.int64)
     hits: List[Tuple[Tuple[str, int], int, int]] = []
     t0 = time.perf_counter()
     # everything accumulates on device (donated buffers); ONE device->
@@ -1077,15 +1103,34 @@ def scan_batches(
                         and 2 * stride >= batch.R
                         and (np.diff(gs) == stride).all()
                     ):
-                        hist_acc, hitbits, n_hits, top_idx = (
-                            scan_runs_resident_strided_topk(
-                                hist_acc, g4, gn,
-                                jnp.int32(int(gs[0])), vb, pwm_dev,
-                                mins_dev, cuts_dev, len(gs), stride,
-                                batch.R, k, comp_size, TOPK,
-                                hist_bases=bases_dev,
+                        # GRAFIMO_ONEHOT_GENOME=1: resident one-hot
+                        # genome variant — MEASURED AND REJECTED on v5e
+                        # (12.6 vs 10.2 ms: the (L, 4) bf16 plane's
+                        # 4-wide minor dim lands on a lane-padded
+                        # layout, docs/BENCHMARKS.md); kept selectable
+                        # for other generations.
+                        if os.environ.get("GRAFIMO_ONEHOT_GENOME"):
+                            goh, gn8 = _onehot_for(batch.graph)
+                            hist_acc, hitbits, n_hits, top_idx = (
+                                scan_runs_resident_onehot_topk(
+                                    hist_acc, goh,
+                                    gn8 if gn is not None else None,
+                                    jnp.int32(int(gs[0])), vb, pwm_dev,
+                                    mins_dev, cuts_dev, len(gs), stride,
+                                    batch.R, k, comp_size, TOPK,
+                                    hist_bases=bases_dev,
+                                )
                             )
-                        )
+                        else:
+                            hist_acc, hitbits, n_hits, top_idx = (
+                                scan_runs_resident_strided_topk(
+                                    hist_acc, g4, gn,
+                                    jnp.int32(int(gs[0])), vb, pwm_dev,
+                                    mins_dev, cuts_dev, len(gs), stride,
+                                    batch.R, k, comp_size, TOPK,
+                                    hist_bases=bases_dev,
+                                )
+                            )
                     else:
                         hist_acc, hitbits, n_hits, top_idx = (
                             scan_runs_resident_topk(

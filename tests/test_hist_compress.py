@@ -103,7 +103,9 @@ def test_end_to_end_compressed_equals_full(monkeypatch, seed):
     motifs = [_motif(rng, 9, "HC01"), _motif(rng, 9, "HC02")]
 
     monkeypatch.setenv("GRAFIMO_TPU_SINGLE_DEVICE", "1")
-    monkeypatch.setenv("GRAFIMO_HIST_COMPRESS", "on")
+    # force: the auto gate requires the TPU backend (compression rides
+    # the Pallas-hist decision); CPU tests must exercise it explicitly
+    monkeypatch.setenv("GRAFIMO_HIST_COMPRESS", "force")
     rr = build_region_runs(graph, "h", [(0, graph.length)], 9)
     got = compute_results_runs(motifs, rr, threshold=0.5, recomb=True)
 

@@ -236,3 +236,60 @@ def test_strided_kernel_matches_gather():
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
         np.testing.assert_array_equal(np.asarray(hb1), np.asarray(hb2))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_onehot_kernel_matches_strided(compressed):
+    """The resident one-hot fast path (device-decoded (L, 4) bf16 genome,
+    slice + conv, no per-dispatch decode) is bit-identical to the strided
+    word kernel — N plane, validity bits and hist compression included."""
+    from grafimo_tpu.ops.score_runs import (
+        nplane_genome,
+        onehot_genome,
+        scan_runs_resident_onehot_topk,
+        scan_runs_resident_strided_topk,
+    )
+
+    rng = np.random.default_rng(57)
+    k, r, b = 11, 128, 17
+    stride = r - k + 1
+    L = -(-(stride * b + r + 200) // 8) * 8
+    genome = rng.integers(0, 4, L).astype(np.uint8)
+    nmask = np.zeros(L, bool)
+    nmask[rng.integers(0, L, 25)] = True
+    margin = np.zeros(r // 4 + 8, np.uint8)
+    gw = bytes_to_words(
+        np.concatenate([pack_run_seqs(genome[None])[0], margin])
+    )
+    nw = bytes_to_words(
+        np.concatenate([pack_bits(nmask[None])[0], margin])
+    )
+    goh = onehot_genome(gw)
+    gn8 = nplane_genome(nw)
+    assert goh.shape == (gw.shape[0] * 16, 4)
+    for lo in (173, 0, 16):
+        noff = r - k + 1
+        valid = rng.random((b, noff)) < 0.9
+        kernel, mins = _kernel(k, rng)
+        cuts = mins + 4000
+        if compressed:
+            bases = kernel.min(axis=1).sum(axis=0).astype(np.int32)
+            tops = kernel.max(axis=1).sum(axis=0).astype(np.int64)
+            hs = int((tops - bases).max()) + 2
+            hb = jnp.asarray(bases)
+        else:
+            hs = 1000 * k + 1
+            hb = None
+        z = jnp.zeros((hs, 1), jnp.int32)
+        h1, hb1, nh1, t1 = scan_runs_resident_strided_topk(
+            z, gw, nw, jnp.int32(lo), pack_bits(valid),
+            kernel, mins, cuts, b, stride, r, k, hs, 64, hist_bases=hb,
+        )
+        z = jnp.zeros((hs, 1), jnp.int32)
+        h2, hb2, nh2, t2 = scan_runs_resident_onehot_topk(
+            z, goh, gn8, jnp.int32(lo), pack_bits(valid),
+            kernel, mins, cuts, b, stride, r, k, hs, 64, hist_bases=hb,
+        )
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        np.testing.assert_array_equal(np.asarray(hb1), np.asarray(hb2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

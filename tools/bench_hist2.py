@@ -281,6 +281,61 @@ def main() -> None:
         "full kernel strided (lo128 hist)", strided_step
     )
 
+    # --- full kernel with exact per-column hist compression (production
+    # single-device path: scores only span [sum-min, sum-max] per column,
+    # runscan passes hist_bases) --------------------------------------------
+    bases_np = kernel.min(axis=1).sum(axis=0).astype(np.int64)
+    tops_np = kernel.max(axis=1).sum(axis=0).astype(np.int64)
+    comp_size = int((tops_np - bases_np).max()) + 2
+    bases_dev = jax.device_put(bases_np.astype(np.int32))
+    print(
+        f"compressed hist: {comp_size} bins vs {hist_size} full "
+        f"({comp_size / hist_size:.2f}x)",
+        file=sys.stderr,
+    )
+    from grafimo_tpu.ops.score_runs import scan_runs_resident_topk as _srt
+
+    for mode, label in (
+        ("bf16lo128", "full_comp_pallas_lo128"),
+        ("off", "full_comp_xla"),
+    ):
+        os.environ["GRAFIMO_PALLAS_HIST"] = mode
+        jax.clear_caches()
+        state_c = {"h": jnp.zeros((comp_size, m), jnp.int32)}
+
+        def comp_step(i):
+            h, hb, nh, tv = _srt(
+                state_c["h"], genome4, None, gstart, None, pwm_dev, mins,
+                cuts, R, k, comp_size, 4096, hist_bases=bases_dev,
+            )
+            state_c["h"] = h
+            return h
+
+        try:
+            results[label] = timed(
+                f"full kernel COMPRESSED ({mode} hist)", comp_step
+            )
+        except Exception as e:
+            print(f"full comp {mode} FAILED: {e}", file=sys.stderr)
+            results[label] = None
+
+    # strided + compressed: the dominant whole-region production shape
+    os.environ["GRAFIMO_PALLAS_HIST"] = "bf16lo128"
+    jax.clear_caches()
+    state_sc = {"h": jnp.zeros((comp_size, m), jnp.int32)}
+
+    def strided_comp_step(i):
+        h, hb, nh, tv = scan_runs_resident_strided_topk(
+            state_sc["h"], genome4, None, lo0, None, pwm_dev, mins, cuts,
+            B, stride, R, k, comp_size, 4096, hist_bases=bases_dev,
+        )
+        state_sc["h"] = h
+        return h
+
+    results["full_strided_comp_lo128"] = timed(
+        "full kernel strided COMPRESSED (lo128)", strided_comp_step
+    )
+
     # --- full production kernel, per hist backend ---------------------------
     checks = {}
     for mode, label in (
