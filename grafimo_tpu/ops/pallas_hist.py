@@ -363,6 +363,89 @@ def hist_pallas3(
     return jnp.moveaxis(out.reshape(m, n_hi * _LO2)[:, :hist_size], 0, 1)
 
 
+def _hist4_kernel(
+    scores_ref, out_ref, *, spill: int, n_hi: int, m: int, tile: int,
+    op_dtype,
+):
+    """v4: scores arrive as ``(tile, m)`` blocks — tile on SUBLANES — so
+    BOTH one-hot builds are spread-free: ``s = block[:, mi]`` is already
+    the ``(tile, 1)`` sublane-major vector the ``(tile, plane)`` compares
+    broadcast from.  v1's hidden cost was the ``(tile,) -> (tile, 1)``
+    lane->sublane spread of the score vector plus the XLA-side
+    ``(n, m) -> (m, n)`` transpose feeding the kernel; here the only
+    relayout left is whichever matmul operand Mosaic transposes for the
+    sublane-contracting dot (the small ``(tile, n_hi)`` plane)."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for mi in range(m):  # static unroll; m <= MAX_M
+        s = scores_ref[:, mi : mi + 1]  # (tile, 1) int32, sublane-major
+        s = jnp.where(s < 0, jnp.int32(spill), s)
+        hi = s >> 7
+        lo = s & 127
+        oh_hi = (
+            hi == jax.lax.broadcasted_iota(jnp.int32, (tile, n_hi), 1)
+        ).astype(op_dtype)
+        oh_lo = (
+            lo == jax.lax.broadcasted_iota(jnp.int32, (tile, _LO2), 1)
+        ).astype(op_dtype)
+        counts = jax.lax.dot_general(
+            oh_hi,
+            oh_lo,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (n_hi, 128); per-tile counts <= tile
+        out_ref[mi] += counts
+
+
+@partial(jax.jit, static_argnames=("hist_size", "interpret", "tile"))
+def hist_pallas4(
+    scores: jnp.ndarray,
+    hist_size: int,
+    interpret: bool = False,
+    tile: int = 4096,
+) -> jnp.ndarray:
+    """v4 of :func:`hist_pallas` — same contract; consumes the scores in
+    their native ``(n, m)`` layout (no XLA transpose), lo radix 128, both
+    one-hots built sublane-major (see ``_hist4_kernel``)."""
+    b, noff, m = scores.shape
+    assert m <= MAX_M, "JASPAR-scale column counts keep the XLA path"
+    n = b * noff
+    n_hi = (hist_size + _LO2 - 1) // _LO2 + 1  # + spill row for invalid
+    spill = (n_hi - 1) * _LO2
+    cols = scores.reshape(n, m)  # contiguous — no transpose
+    pad = (-n) % tile
+    if pad:
+        cols = jnp.pad(cols, ((0, pad), (0, 0)), constant_values=-1)
+    n_tiles = cols.shape[0] // tile
+    out = pl.pallas_call(
+        partial(
+            _hist4_kernel,
+            spill=spill,
+            n_hi=n_hi,
+            m=m,
+            tile=tile,
+            op_dtype=jnp.bfloat16,
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n_hi, _LO2), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, m), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (m, n_hi, _LO2), lambda j: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(cols)
+    return jnp.moveaxis(out.reshape(m, n_hi * _LO2)[:, :hist_size], 0, 1)
+
+
 def hist_pallas_reference(scores: np.ndarray, hist_size: int) -> np.ndarray:
     """Host oracle: per-column ``np.bincount`` over the valid scores."""
     b, noff, m = scores.shape

@@ -9,6 +9,7 @@ from grafimo_tpu.ops.pallas_hist import (
     hist_pallas,
     hist_pallas2,
     hist_pallas3,
+    hist_pallas4,
     hist_pallas_reference,
 )
 
@@ -97,6 +98,22 @@ def test_hist_pallas3_matches_bincount(use_f32):
     )
     want = hist_pallas_reference(scores, hist_size)
     assert got.shape == (hist_size, 2)
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() == (scores >= 0).sum()
+
+
+def test_hist_pallas4_matches_bincount():
+    """v4 ((tile, m) blocks, no input transpose) is bit-identical to the
+    host oracle across the full range incl. invalids and >1 tiles."""
+    rng = np.random.default_rng(23)
+    hist_size = 7426  # compressed-size regime (its target use)
+    scores = rng.integers(-1, hist_size, (11, 650, 3)).astype(np.int32)
+    scores[0, :4, 0] = [0, hist_size - 1, -1, 127]
+    got = np.asarray(
+        hist_pallas4(scores, hist_size, interpret=True, tile=2048)
+    )
+    want = hist_pallas_reference(scores, hist_size)
+    assert got.shape == (hist_size, 3)
     np.testing.assert_array_equal(got, want)
     assert got.sum() == (scores >= 0).sum()
 

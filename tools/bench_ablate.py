@@ -118,6 +118,9 @@ def main() -> None:
         w = (1 << jnp.arange(8, dtype=jnp.uint8))[None, None, :, None]
         return jnp.sum(hit * w, axis=2).astype(jnp.uint8)
 
+    # every variant's return value DEPENDS on every stage it claims to
+    # run — a variant returning only the histogram lets XLA dead-code-
+    # eliminate the packaging entirely (first version of this tool)
     variants = {}
 
     @jax.jit
@@ -125,14 +128,17 @@ def main() -> None:
         s = scores_of(lo)
         hist = hist_of(s)
         hb = hitbits_of(s)
-        return sr._topk_package(acc, hist, hb, noff, m, 8192)[0]
+        h2, hb2, nh, tv = sr._topk_package(acc, hist, hb, noff, m, 8192)
+        return h2.at[0, 0].add(nh + tv.sum() + hb2.sum().astype(jnp.int32))
 
     variants["full"] = full
 
     @jax.jit
     def no_package(acc, lo):
         s = scores_of(lo)
-        return acc + hist_of(s) + hitbits_of(s).sum().astype(jnp.int32)
+        return (acc + hist_of(s)).at[0, 0].add(
+            hitbits_of(s).sum().astype(jnp.int32)
+        )
 
     variants["no_package"] = no_package
 
@@ -147,7 +153,8 @@ def main() -> None:
         s = scores_of(lo)
         hb = hitbits_of(s)
         hist = jnp.zeros((comp_size, m), jnp.int32)
-        return sr._topk_package(acc, hist, hb, noff, m, 8192)[0]
+        h2, hb2, nh, tv = sr._topk_package(acc, hist, hb, noff, m, 8192)
+        return h2.at[0, 0].add(nh + tv.sum() + hb2.sum().astype(jnp.int32))
 
     variants["no_hist"] = no_hist
 
