@@ -73,6 +73,12 @@ def get_parser() -> argparse.ArgumentParser:
         "--reindex", action="store_true", default=False,
         help="rebuild graphs even when present (compat flag)",
     )
+    build.add_argument(
+        "--export", type=str, default="", choices=["", "gfa", "vg"],
+        dest="export",
+        help="also write each graph as a vg-toolkit artifact (GFA 1.1 "
+        "with haplotype W lines, or BGZF .vg protobuf)",
+    )
     find = parser.add_argument_group("Findmotif options")
     find.add_argument(
         "-g", "--genome-graph", type=str, default="", dest="graph_genome",
@@ -192,10 +198,11 @@ def args_to_workflow(args: argparse.Namespace):
             cores=cores,
             outdir=outdir,
             reindex=args.reindex,
+            export=args.export,
             verbose=args.verbose,
             debug=args.debug,
         )
-    if args.linear_genome or args.vcf:
+    if args.linear_genome or args.vcf or args.export:
         raise ValueError(
             "buildvg options are not allowed with the findmotif workflow"
         )

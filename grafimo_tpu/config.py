@@ -24,6 +24,7 @@ class BuildVG:
     cores: int = 0
     outdir: str = DEFAULT_OUTDIR
     reindex: bool = False
+    export: str = ""  # also write "gfa" / "vg" artifacts per graph
     verbose: bool = False
     debug: bool = False
 
@@ -34,6 +35,11 @@ class BuildVG:
             )
         if not os.path.isfile(self.vcf):
             raise FileNotFoundError(f"unable to locate {self.vcf}")
+        if self.export not in ("", "gfa", "vg"):
+            raise ValueError(
+                f"unknown --export format {self.export!r} "
+                f"(choose gfa or vg)"
+            )
 
 
 @dataclass

@@ -98,17 +98,26 @@ def buildvg(workflow: BuildVG) -> List[str]:
         if workflow.namemap:
             name = workflow.namemap.get(chrom, chrom)
         path = graph_filename(outdir, workflow.chroms_prefix, name)
+        export_path = (
+            path[: -len(GVT_SUFFIX)] + "." + workflow.export
+            if workflow.export
+            else None
+        )
         if os.path.isfile(path) and not workflow.reindex:
             # reference skips recomputing indexes unless --reindex
             # (constructVG.py:213-236)
             print(f"graph for {chrom} exists ({path}); skipping "
                   f"(use --reindex to rebuild)")
             written.append(path)
+            if export_path and not os.path.isfile(export_path):
+                _export_graph(SiteGraph.load(path), export_path)
             continue
         records, n_hap = read_vcf_records(workflow.vcf, chrom)
         graph = build_graph(chrom, seqs[chrom], records, n_hap=n_hap)
         graph.save(path)
         written.append(path)
+        if export_path:
+            _export_graph(graph, export_path)
         if workflow.verbose:
             print(
                 f"graph for {chrom}: {graph.n_nodes} nodes, "
