@@ -557,7 +557,26 @@ _ROW_SLOTS = 32
 
 
 def _topk_package(hist_acc, hist, hitbits, noff: int, m: int, topk: int):
-    """Two-level on-device hit compaction.
+    """On-device hit compaction — dispatches between the byte-tiered
+    production formulation (:func:`_topk_package_tiered`) and the flat
+    bit-space reference (:func:`_topk_package_flat`), which are
+    differentially pinned bit-identical (tests/test_runscan.py).
+    ``GRAFIMO_PACKAGE=flat`` selects the reference at trace time (kept
+    for A-B-A measurement on other TPU generations)."""
+    import os
+
+    if os.environ.get("GRAFIMO_PACKAGE", "tiered") == "flat":
+        return _topk_package_flat(hist_acc, hist, hitbits, noff, m, topk)
+    return _topk_package_tiered(hist_acc, hist, hitbits, noff, m, topk)
+
+
+def _topk_package_flat(
+    hist_acc, hist, hitbits, noff: int, m: int, topk: int
+):
+    """Two-level on-device hit compaction (flat bit-space REFERENCE —
+    every rank/extraction pass runs over all ``B*Noff*M`` window
+    predicates; see :func:`_topk_package_tiered` for the production
+    variant that runs them over packed bytes instead).
 
     The naive formulation (1-D cumsum + scatter over all B*Noff*M window
     predicates) costs ~8x the conv+histogram combined on TPU — giant 1-D
@@ -634,6 +653,106 @@ def _topk_package(hist_acc, hist, hitbits, noff: int, m: int, topk: int):
     return (
         hist_acc + hist.astype(hist_acc.dtype), hitbits, n_hits,
         top_vals,  # hit flat indices + 1, ascending; 0 = empty slot
+    )
+
+
+def _topk_package_tiered(
+    hist_acc, hist, hitbits, noff: int, m: int, topk: int
+):
+    """Byte-tiered hit compaction — same contract and bit-identical
+    outputs as :func:`_topk_package_flat`, with the heavy rank passes
+    run over the PACKED hit bytes instead of unpacked window bits.
+
+    The flat formulation's cost is two passes (cumsum ranks + the fused
+    ``_ROW_SLOTS`` masked extractions) over the full ``(B, Noff*M)`` bit
+    predicate — 8.3 M int32 elements per production dispatch, plus the
+    bit-unpack that materialises them.  But the same information lives
+    in ``hitbits`` at 1/8 the elements, and a row can hold at most
+    ``_ROW_SLOTS`` compactable hits, which necessarily sit inside its
+    first ``_ROW_SLOTS`` NONZERO BYTES.  So:
+
+    1. byte tier, ``(B, ceil(Noff/8)*M)``: per-row nonzero-byte ranks
+       (cumsum) + ``_ROW_SLOTS`` masked reductions extract each row's
+       first hit bytes, position and value packed in one int32
+       (``(q+1) << 8 | byte``) so one reduction set suffices;
+    2. bit tier, ``(B, _ROW_SLOTS*8)``: the extracted bytes expand to
+       their candidate window flat-indices elementwise.  Candidate
+       enumeration order is ``(offset_byte, motif, bit)`` which is NOT
+       ascending in flat ``(offset, motif)`` order for m > 1, so a
+       per-row ``jnp.sort`` over the 256 candidates (invalid = int32
+       max) restores the contract's ascending order — trivially cheap
+       at this width;
+    3. the across-rows scatter is unchanged.
+
+    Hit COUNTS (``cnt``/``n_hits``/the overflow flag) come from
+    ``population_count`` of the bytes, so the capacity rule (a row with
+    more than ``_ROW_SLOTS`` hit BITS forces the bitmask tier) is
+    exactly the flat rule.  v5e measurement: tools/bench_ablate.py.
+    """
+    b = hitbits.shape[0]
+    q = hitbits.shape[1] * m  # bytes per row, (offset_byte, motif) C-order
+    bytes2d = hitbits.reshape(b, q)
+    cnt = jnp.sum(
+        jax.lax.population_count(bytes2d).astype(jnp.int32), axis=1
+    )  # (B,) hit bits per row — identical to the flat pred.sum()
+    k_slots = min(topk, b * _ROW_SLOTS)
+    sentinel = jnp.int32(np.iinfo(np.int32).max)
+
+    def _extract(args):
+        bytes2d, cnt = args
+        nz = (bytes2d > 0).astype(jnp.int32)
+        brank = jnp.cumsum(nz, axis=1)  # nonzero-byte rank (1-based)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (b, q), 1)
+        enc = ((qi + 1) << 8) | bytes2d.astype(jnp.int32)
+        slot_cols = [
+            jnp.sum(
+                jnp.where((brank == (s + 1)) & (nz > 0), enc, 0), axis=1
+            )
+            for s in range(_ROW_SLOTS)
+        ]  # fused: one pass over (B, Q) — Q is Noff*M/8
+        slot_enc = jnp.stack(slot_cols, axis=1)  # (B, S)
+        # bit tier: expand each extracted byte to its 8 candidate hits
+        bq = (slot_enc >> 8) - 1  # byte position in (offset_byte, motif)
+        val = slot_enc & 255
+        bits = (val[:, :, None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+        o8 = bq // m
+        mi = bq - o8 * m
+        off = o8[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (b, _ROW_SLOTS, 8), 0
+        )
+        gidx = (rows * noff + off) * m + mi[:, :, None] + 1
+        valid = (slot_enc[:, :, None] > 0) & (bits > 0) & (off < noff)
+        cand = jnp.where(valid, gidx, sentinel).reshape(b, _ROW_SLOTS * 8)
+        cand = jnp.sort(cand, axis=1)[:, :_ROW_SLOTS]  # ascending hits
+        srange = jnp.arange(_ROW_SLOTS, dtype=jnp.int32)
+        vslot = srange[None, :] < jnp.minimum(cnt, _ROW_SLOTS)[:, None]
+        slot_mat = jnp.where(vslot, cand, 0)
+        base = jnp.cumsum(cnt) - cnt  # exclusive prefix: global position
+        tgt = jnp.where(
+            vslot,
+            jnp.minimum(base[:, None] + srange[None, :], k_slots - 1),
+            k_slots,
+        )
+        return (
+            jnp.zeros((k_slots,), jnp.int32)
+            .at[tgt.reshape(-1)]
+            .max(slot_mat.reshape(-1), mode="drop")
+        )
+
+    n_hits = cnt.sum().astype(jnp.int32)
+    top_vals = jax.lax.cond(
+        n_hits > 0,
+        _extract,
+        lambda args: jnp.zeros((k_slots,), jnp.int32),
+        (bytes2d, cnt),
+    )
+    n_hits = jnp.where(
+        (cnt > _ROW_SLOTS).any(), jnp.maximum(n_hits, topk + 1), n_hits
+    )
+    return (
+        hist_acc + hist.astype(hist_acc.dtype), hitbits, n_hits,
+        top_vals,
     )
 
 

@@ -233,6 +233,77 @@ def test_topk_row_overflow_forces_bitmask_tier():
     np.testing.assert_array_equal(rt, mask2)
 
 
+def test_topk_package_tiered_matches_flat():
+    """The byte-tiered hit compaction must reproduce the flat bit-space
+    reference exactly: identical (hist, hitbits, n_hits) always, and
+    identical top_vals whenever no row overflows its slot capacity (on
+    overflow both report n_hits > topk and the caller takes the bitmask
+    tier without reading top_vals)."""
+    import jax.numpy as jnp
+
+    from grafimo_tpu.ops.score_runs import (
+        _ROW_SLOTS,
+        _topk_package_flat,
+        _topk_package_tiered,
+        pack_bits,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for b, noff, m, p in [
+        (8, 130, 1, 0.02),   # noff % 8 != 0
+        (16, 64, 2, 0.05),   # multi-motif: candidate order needs the sort
+        (4, 200, 3, 0.01),
+        (8, 96, 2, 0.0),     # empty slice
+        (8, 40, 2, 0.6),     # dense: total > topk, rows overflow
+    ]:
+        mask = rng.random((b, noff, m)) < p
+        cases.append((mask, noff, m))
+    # adversarial m=2 ordering case: early offsets on motif 1 only, later
+    # offsets on motif 0 — ascending flat order interleaves the motifs
+    mask = np.zeros((4, 64, 2), bool)
+    mask[1, 0:8, 1] = True
+    mask[1, 3:11, 0] = True
+    cases.append((mask, 64, 2))
+    # exactly at capacity / one over capacity
+    for extra in (0, 1):
+        mask = np.zeros((3, 300, 2), bool)
+        idx = rng.choice(600, _ROW_SLOTS + extra, replace=False)
+        mask[1].reshape(-1)[idx] = True
+        cases.append((mask, 300, 2))
+
+    topk = 256
+    for mask, noff, m in cases:
+        b = mask.shape[0]
+        pad = (-noff) % 8
+        mp = np.pad(mask, ((0, 0), (0, pad), (0, 0)))
+        hitbits = jnp.asarray(
+            np.stack(
+                [pack_bits(mp[:, :, mi]) for mi in range(m)], axis=2
+            )
+        )
+        hist = jnp.asarray(
+            rng.integers(0, 100, (16, m)).astype(np.int32)
+        )
+        acc = jnp.zeros((16, m), jnp.int32)
+        rf = _topk_package_flat(acc, hist, hitbits, noff, m, topk)
+        rt = _topk_package_tiered(acc, hist, hitbits, noff, m, topk)
+        np.testing.assert_array_equal(np.asarray(rf[0]), np.asarray(rt[0]))
+        np.testing.assert_array_equal(np.asarray(rf[1]), np.asarray(rt[1]))
+        assert int(rf[2]) == int(rt[2])
+        per_row = mask.reshape(b, -1).sum(axis=1)
+        if (per_row <= _ROW_SLOTS).all():
+            np.testing.assert_array_equal(
+                np.asarray(rf[3]), np.asarray(rt[3])
+            )
+            # and both match the oracle when within the compact tier
+            if int(rf[2]) <= topk:
+                want = np.flatnonzero(mask.reshape(-1))
+                got = np.asarray(rt[3])
+                got = got[got > 0] - 1
+                np.testing.assert_array_equal(got, want)
+
+
 def test_window_scores_select_matches_conv():
     """The VPU select/LUT formulation and the MXU conv must agree
     bit-for-bit (the default is hardware-measured, score_runs.py
