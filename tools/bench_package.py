@@ -119,6 +119,91 @@ def main() -> None:
     full_flat = make_full(sr._topk_package_flat)
     full_tiered = make_full(sr._topk_package_tiered)
 
+    # experimental: tiered WITHOUT the ascending (B, 256) sort — within-
+    # row hits come out in (offset_byte, motif, bit) enumeration order
+    # instead of flat ascending order (a contract relaxation: the global
+    # scatter still places every hit in the first n_hits slots).  Rank
+    # extraction over the candidates replaces the sort.
+    import jax.numpy as _j
+
+    def _package_nosort(hist_acc, hist, hitbits, noff, m, topk):
+        b = hitbits.shape[0]
+        q = hitbits.shape[1] * m
+        bytes2d = hitbits.reshape(b, q)
+        cnt = _j.sum(
+            jax.lax.population_count(bytes2d).astype(_j.int32), axis=1
+        )
+        S = sr._ROW_SLOTS
+        k_slots = min(topk, b * S)
+
+        def _extract(args):
+            bytes2d, cnt = args
+            nz = (bytes2d > 0).astype(_j.int32)
+            brank = _j.cumsum(nz, axis=1)
+            qi = jax.lax.broadcasted_iota(_j.int32, (b, q), 1)
+            enc = ((qi + 1) << 8) | bytes2d.astype(_j.int32)
+            slot_cols = [
+                _j.sum(
+                    _j.where((brank == (s + 1)) & (nz > 0), enc, 0),
+                    axis=1,
+                )
+                for s in range(S)
+            ]
+            slot_enc = _j.stack(slot_cols, axis=1)
+            bq = (slot_enc >> 8) - 1
+            val = slot_enc & 255
+            bits = (val[:, :, None] >> _j.arange(8, dtype=_j.int32)) & 1
+            o8 = bq // m
+            mi = bq - o8 * m
+            off = o8[:, :, None] * 8 + _j.arange(8, dtype=_j.int32)
+            rows = jax.lax.broadcasted_iota(_j.int32, (b, S, 8), 0)
+            gidx = (rows * noff + off) * m + mi[:, :, None] + 1
+            valid = (
+                (slot_enc[:, :, None] > 0) & (bits > 0) & (off < noff)
+            )
+            vc = valid.reshape(b, S * 8).astype(_j.int32)
+            gc = _j.where(valid, gidx, 0).reshape(b, S * 8)
+            crank = _j.cumsum(vc, axis=1)
+            cand_cols = [
+                _j.sum(
+                    _j.where((crank == (s + 1)) & (vc > 0), gc, 0),
+                    axis=1,
+                )
+                for s in range(S)
+            ]
+            cand = _j.stack(cand_cols, axis=1)  # (B, S) enum order
+            srange = _j.arange(S, dtype=_j.int32)
+            vslot = srange[None, :] < _j.minimum(cnt, S)[:, None]
+            slot_mat = _j.where(vslot, cand, 0)
+            base = _j.cumsum(cnt) - cnt
+            tgt = _j.where(
+                vslot,
+                _j.minimum(base[:, None] + srange[None, :], k_slots - 1),
+                k_slots,
+            )
+            return (
+                _j.zeros((k_slots,), _j.int32)
+                .at[tgt.reshape(-1)]
+                .max(slot_mat.reshape(-1), mode="drop")
+            )
+
+        n_hits = cnt.sum().astype(_j.int32)
+        top_vals = jax.lax.cond(
+            n_hits > 0,
+            _extract,
+            lambda args: _j.zeros((k_slots,), _j.int32),
+            (bytes2d, cnt),
+        )
+        n_hits = _j.where(
+            (cnt > S).any(), _j.maximum(n_hits, topk + 1), n_hits
+        )
+        return (
+            hist_acc + hist.astype(hist_acc.dtype), hitbits, n_hits,
+            top_vals,
+        )
+
+    full_nosort = make_full(_package_nosort)
+
     # exactness gate: identical (hist+checksum, n_hits, top_vals)
     acc0 = jnp.zeros((comp_size, m), jnp.int32)
     hf, nhf, tvf = full_flat(acc0, lo0)
@@ -148,10 +233,19 @@ def main() -> None:
         )
         return per
 
-    # A-B-A: flat, tiered, flat again (tunnel drift guard)
+    # the no-sort variant must agree on n_hits and the SET of hits
+    hn, nhn, tvn = full_nosort(acc0, lo0)
+    assert int(nhn) == int(nhf)
+    np.testing.assert_array_equal(np.asarray(hn), np.asarray(hf))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(tvn)), np.sort(np.asarray(tvf))
+    )
+
+    # A-B-A-C-A: flat, tiered, nosort, flat again (tunnel drift guard)
     results = {}
     results["full_flat_a"] = timed("full_flat (A)", full_flat)
     results["full_tiered"] = timed("full_tiered (B)", full_tiered)
+    results["full_nosort"] = timed("full_nosort (C)", full_nosort)
     results["full_flat_b"] = timed("full_flat (A again)", full_flat)
 
     print(json.dumps({
