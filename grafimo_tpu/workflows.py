@@ -141,7 +141,7 @@ def _resolve_graph_path(workflow: Findmotif, chrom: str) -> str:
     gvt = os.path.join(workflow.graph_genome_dir, f"{name}{GVT_SUFFIX}")
     if os.path.isfile(gvt):
         return gvt
-    for ext in (".gfa", ".vg"):
+    for ext in (".gfa", ".vg", ".xg"):
         cand = os.path.join(workflow.graph_genome_dir, f"{name}{ext}")
         if os.path.isfile(cand):
             return cand
@@ -157,16 +157,18 @@ def _display_chrom(workflow: Findmotif, chrom: str) -> str:
     return c
 
 
-def _xg_conversion_error(path: str) -> GraphError:
-    """Actionable error for vg's succinct ``.xg`` index: the reference
-    scans it through the vg binary (``vg find -x``,
-    ``extract_regions.py:180``, ``workflow.py:629``); this framework
-    reads ``.vg``/``.gfa``/``.gbwt`` natively but ``.xg`` (an sdsl
-    serialization) needs a one-time export."""
+def _xg_conversion_error(path: str, cause: str = "") -> GraphError:
+    """Actionable error for a vg ``.xg`` index that the native parser
+    (``graph/xg.py``) could not read — e.g. an XG format version this
+    framework has no byte-layout oracle for.  The reference scans
+    ``.xg`` through the vg binary (``vg find -x``,
+    ``extract_regions.py:180``, ``workflow.py:629``); unparsable files
+    need a one-time export."""
     stem = os.path.splitext(path)[0]
+    why = f" ({cause})" if cause else ""
     return GraphError(
-        f"{path} is a vg succinct index, which this framework does not "
-        f"read directly. Export it once with\n\n"
+        f"{path} could not be parsed natively{why}. Export it once "
+        f"with\n\n"
         f"    vg convert -p {path} > {stem}.vg\n"
         f"    (or: vg view -g {path} > {stem}.gfa)\n\n"
         f"(a {os.path.basename(stem)}.gbwt sidecar next to the export is "
@@ -177,11 +179,20 @@ def _xg_conversion_error(path: str) -> GraphError:
 
 def load_graph_file(path: str) -> SiteGraph:
     """Load a variation graph: native ``.gvt.npz``, a vg protobuf
-    ``.vg`` (``graph/vgproto.py``), or a vg-exported ``.gfa``
-    (``graph/gfa.py``).  A ``.gbwt`` sidecar next to a ``.vg`` or
-    W-line-less GFA supplies the haplotype panel (``graph/gbwt.py``)."""
+    ``.vg`` (``graph/vgproto.py``), a vg succinct ``.xg`` index
+    (``graph/xg.py``), or a vg-exported ``.gfa`` (``graph/gfa.py``).
+    A ``.gbwt`` sidecar next to a ``.vg``/``.xg`` or W-line-less GFA
+    supplies the haplotype panel (``graph/gbwt.py``)."""
     if path.endswith(".xg"):
-        raise _xg_conversion_error(path)
+        from grafimo_tpu.graph.xg import xg_to_sitegraph
+
+        gbwt = path[:-3] + ".gbwt"
+        try:
+            return xg_to_sitegraph(
+                path, gbwt=gbwt if os.path.isfile(gbwt) else None
+            )
+        except GraphError as exc:
+            raise _xg_conversion_error(path, cause=str(exc)) from exc
     for ext, loader_name in ((".gfa", "gfa"), (".vg", "vgproto")):
         if path.endswith(ext):
             if loader_name == "gfa":
@@ -226,9 +237,6 @@ def _load_graphs(
             continue
         path = _resolve_graph_path(workflow, chrom)
         if not os.path.isfile(path):
-            stem = path[: -len(GVT_SUFFIX)]
-            if os.path.isfile(stem + ".xg"):
-                raise _xg_conversion_error(stem + ".xg")
             raise GraphError(
                 f"unable to locate {path} — are your graphs named with "
                 f'"chr"? Consider --chroms-prefix-find or '
