@@ -53,7 +53,9 @@ def get_parser() -> argparse.ArgumentParser:
     )
     build.add_argument(
         "-v", "--vcf", type=str, default="", dest="vcf",
-        help="phased VCF (may be bgzipped)",
+        help="phased VCF (may be bgzipped). With findmotif: build the "
+             "haplotype panel for graphs that import without one (the "
+             "reference's interactive indexing of a bare .vg)",
     )
     build.add_argument(
         "--chroms-build", nargs="*", default=[], dest="chroms_build",
@@ -202,7 +204,7 @@ def args_to_workflow(args: argparse.Namespace):
             verbose=args.verbose,
             debug=args.debug,
         )
-    if args.linear_genome or args.vcf or args.export:
+    if args.linear_genome or args.export:
         raise ValueError(
             "buildvg options are not allowed with the findmotif workflow"
         )
@@ -233,6 +235,7 @@ def args_to_workflow(args: argparse.Namespace):
         coordinator=args.coordinator,
         num_processes=args.num_processes,
         process_id=args.process_id,
+        vcf=args.vcf,
     )
 
 

@@ -66,6 +66,11 @@ class Findmotif:
     outdir: str = DEFAULT_OUTDIR
     verbose: bool = False
     debug: bool = False
+    # haplotype-panel bootstrap: phased VCF used to (re)build the
+    # haplotype index for graphs that import without one (the
+    # reference's interactive "index it now?" flow for a bare .vg,
+    # ``grafimo.py:134-162`` -> ``constructVG.py:343``)
+    vcf: str = ""
     # scan engine: "runs" = run-compressed device scan (production),
     # "windows" = per-window reference path
     engine: str = "runs"
@@ -118,6 +123,8 @@ class Findmotif:
             raise ValueError("--top-graphs must be >= 0")
         if self.engine not in ("runs", "windows"):
             raise ValueError(f"unknown scan engine {self.engine!r}")
+        if self.vcf and not os.path.isfile(self.vcf):
+            raise FileNotFoundError(f"unable to locate {self.vcf}")
 
 
 NOMAP_SENTINEL = NOMAP

@@ -210,6 +210,60 @@ def load_graph_file(path: str) -> SiteGraph:
     return SiteGraph.load(path)
 
 
+def _warn(msg: str) -> None:
+    import sys
+
+    sys.stderr.write(f"\033[33mWARNING: {msg}\033[0m\n")
+
+
+def _ensure_haplotypes(
+    workflow: Findmotif, graph: SiteGraph, path: str
+) -> SiteGraph:
+    """Haplotype-panel bootstrap for graphs that import without a
+    GBWT/walk index — the reference's interactive indexing of a bare
+    ``.vg`` (``grafimo.py:134-162`` -> ``vg index -G .gbwt -v VCF``,
+    ``constructVG.py:343``), made non-interactive via ``--vcf``.
+
+    With ``--vcf``: rebuild the graph from its own reference backbone +
+    the VCF's phased genotypes, which recreates the haplotype bitset
+    index (and must reproduce the imported topology — a mismatch means
+    the VCF is not the one the graph was built from).  Without: warn
+    loudly, since every window then reports haplotype frequency 0 and
+    is dropped unless ``--recomb``."""
+    if graph.haplo is not None:
+        return graph
+    if not workflow.vcf:
+        _warn(
+            f"{path}: no haplotype index (no .gbwt sidecar / GFA walks) "
+            f"— every window reports haplotype frequency 0 and is "
+            f"dropped from the report unless --recomb. Pass --vcf "
+            f"PHASED.vcf.gz to build the panel from the graph's VCF, or "
+            f"rebuild with buildvg."
+        )
+        return graph
+    records, n_hap = read_vcf_records(workflow.vcf, graph.chrom)
+    if not records:
+        raise GraphError(
+            f"--vcf {workflow.vcf}: no usable records for chromosome "
+            f"{graph.chrom!r} — cannot build a haplotype panel for "
+            f"{path}"
+        )
+    rebuilt = build_graph(graph.chrom, graph.seq, records, n_hap=n_hap)
+    if sorted(rebuilt.node_seqs[1:]) != sorted(graph.node_seqs[1:]):
+        _warn(
+            f"{path}: graph rebuilt from --vcf differs from the "
+            f"imported topology — is {workflow.vcf} the VCF this graph "
+            f"was built from? Scanning the rebuilt graph."
+        )
+    if workflow.verbose:
+        print(
+            f"haplotype panel for {graph.chrom} built from "
+            f"{workflow.vcf} ({rebuilt.haplo.n_hap if rebuilt.haplo else 0}"
+            f" haplotypes)"
+        )
+    return rebuilt
+
+
 def _load_graphs(
     workflow: Findmotif, chroms_in_bed: List[str]
 ) -> Dict[str, Tuple[str, SiteGraph]]:
@@ -219,6 +273,7 @@ def _load_graphs(
     graphs: Dict[str, Tuple[str, SiteGraph]] = {}
     if workflow.has_graphgenome():
         g = load_graph_file(workflow.graph_genome)
+        g = _ensure_haplotypes(workflow, g, workflow.graph_genome)
         for chrom in chroms_in_bed:
             c = chrom[3:] if chrom.startswith("chr") else chrom
             if selected and c not in selected:
@@ -242,7 +297,8 @@ def _load_graphs(
                 f'"chr"? Consider --chroms-prefix-find or '
                 f"--chroms-namemap-find"
             )
-        graphs[chrom] = (_display_chrom(workflow, chrom), load_graph_file(path))
+        g = _ensure_haplotypes(workflow, load_graph_file(path), path)
+        graphs[chrom] = (_display_chrom(workflow, chrom), g)
     return graphs
 
 
