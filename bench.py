@@ -3,12 +3,15 @@
 Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
 
 Measures the production scoring path (the run-compressed engine behind
-``findmotif``): bit-packed run batches are streamed host->device each
-iteration, the device expands and scores EVERY stride-1 window on both
-strands (conv over the one-hot sequence with forward + reverse-complement
-PWM columns), builds the exact integer score histogram, applies the
-integer p-value cutoff, and the packed hit bits + histogram are fetched
-back to the host.  A "window" is one strand-scored candidate window — the
+``findmotif``): run batches stream host->device each iteration in the
+engine's measured category mix on 1KGP-like input — device-resident
+backbone descriptors, patch-descriptor substitution rows, span-spliced
+indel rows and packed fallback rows (window shares 16/71/12/1,
+``tools/bench_indel_wire.py``) — and the device expands and scores
+EVERY stride-1 window on both strands (conv over the one-hot sequence
+with forward + reverse-complement PWM columns), builds the exact
+integer score histogram, applies the integer p-value cutoff, and the
+packed hit bits + histogram are fetched back to the host.  A "window" is one strand-scored candidate window — the
 unit matching one row of the reference's extraction TSVs (its
 ``scanned sequences`` counter, ``score_sequences.py:202``).
 
@@ -73,11 +76,23 @@ def _device_main() -> None:
     cutoff = PvalueLookup(motif.pval_table).score_cutoff(1e-4)
     cuts = np.array([cutoff] * 2, dtype=np.int32)
 
-    from grafimo_tpu.runscan import DeviceBatch, RunChunk, scan_batches
+    from grafimo_tpu.runscan import (
+        PATCH_SLOTS,
+        DeviceBatch,
+        RunChunk,
+        scan_batches,
+    )
 
     B, R = 2048, 2048  # runs per batch x run length
     noff = R - k + 1
-    iters = 12
+    # Batch mix = the engine's measured window shares on 1KGP-like input
+    # (tools/bench_indel_wire.py, 12% indels, 5096 haplotypes:
+    # backbone 16% / patched 71% / spliced 12% / packed 1.3% of
+    # windows; docs/BENCHMARKS.md "Indel wire residency").
+    MIX = (
+        ["backbone"] * 4 + ["patched"] * 16 + ["spliced"] * 3 + ["packed"]
+    )
+    iters = len(MIX)
     rng = np.random.default_rng(0)
 
     # HBM-resident synthetic chromosome (uploaded once, like a real scan)
@@ -91,29 +106,52 @@ def _device_main() -> None:
     )
 
     def make_batches(seed):
-        """The production mix: half the rows are device-resident backbone
-        descriptors (4 bytes/row), half are packed cluster uploads (with
-        a masked slice thrown in)."""
         r2 = np.random.default_rng(seed)
         out = []
-        for i in range(iters):
+        for i, kind in enumerate(MIX):
             chunks = [RunChunk(("bench", (-1, 0)), 0) for _ in range(B)]
-            if i % 2 == 0:
-                gstart = r2.integers(
-                    0, len(shim.seq) - R, B
-                ).astype(np.int32)
+            common = dict(
+                R=R, packed=None, nbits=None,
+                vbits=pack_bits(np.ones((B, noff), bool)),
+                chunks=chunks, graph=shim,
+            )
+            gstart = r2.integers(8, len(shim.seq) - R - 64, B).astype(
+                np.int32
+            )
+            if kind == "backbone":
+                out.append(DeviceBatch(gstart=gstart, **common))
+            elif kind == "patched":
+                # substitution combination rows: ~3 patches/row
+                # (pos*4+base descriptors, rest of the slots empty)
+                pat = np.full((B, PATCH_SLOTS), -1, dtype=np.int16)
+                for s in range(3):
+                    pat[:, s] = (
+                        r2.integers(0, R, B) * 4 + r2.integers(0, 4, B)
+                    ).astype(np.int16)
+                out.append(
+                    DeviceBatch(gstart=gstart, patches=pat, **common)
+                )
+            elif kind == "spliced":
+                # single-indel combination rows: one live (bound, shift)
+                # splice entry + one inserted-base patch
+                splice = np.full((B, 4), 0x7FFF, dtype=np.int16)
+                splice[:, 0] = r2.integers(k, R - k, B).astype(np.int16)
+                splice[:, 1] = r2.integers(-8, 9, B).astype(np.int16)
+                pat = np.full((B, PATCH_SLOTS), -1, dtype=np.int16)
+                pat[:, 0] = (
+                    splice[:, 0].astype(np.int64) * 4
+                    + r2.integers(0, 4, B)
+                ).astype(np.int16)
                 out.append(
                     DeviceBatch(
-                        R=R, packed=None, nbits=None,
-                        vbits=pack_bits(np.ones((B, noff), bool)),
-                        chunks=chunks, gstart=gstart, graph=shim,
+                        gstart=gstart, splice=splice, patches=pat,
+                        **common,
                     )
                 )
-            else:
+            else:  # packed (multi-indel chunks / short-bucket fallback)
                 codes = r2.integers(0, 4, (B, R)).astype(np.uint8)
                 nmask = np.zeros((B, R), bool)
-                if i % 4 == 1:  # some slices carry N masks
-                    nmask[r2.integers(0, B, 32), r2.integers(0, R, 32)] = 1
+                nmask[r2.integers(0, B, 32), r2.integers(0, R, 32)] = 1
                 out.append(
                     DeviceBatch(
                         R=R, packed=pack_run_seqs(codes),
@@ -181,10 +219,12 @@ def _device_main() -> None:
     res_checksum = int(np.asarray(h).sum())
     dt_res = time.perf_counter() - t0
     resident_ws = B * noff * 2 * res_iters / dt_res
-    # modeled MFU: hw-executed flops per window-strand = the exact
-    # compressed histogram's one-hot contraction as the pinned lo=128
-    # Pallas kernel executes it (hi plane padded to a lane multiple of
-    # 128 by the MXU) + the split-kernel conv
+    # modeled MFU — the single executed-flop model shared with
+    # docs/BENCHMARKS.md "MFU accounting": the exact COMPRESSED
+    # histogram's one-hot contraction as the pinned lo=128 Pallas kernel
+    # executes it (hi plane padded to a lane multiple of 128 by the MXU)
+    # + the split-kernel conv: 2*pad128(n_hi)*128 + 16*k per
+    # window-strand
     peak = {
         "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
         "TPU v5p": 459e12, "TPU v6e": 918e12, "TPU v6 lite": 918e12,
@@ -208,7 +248,8 @@ def _device_main() -> None:
     )
     print(
         f"# device={dev.device_kind} runs/batch={B} R={R} k={k} "
-        f"iters={iters} (half resident, half packed) time={dt:.3f}s "
+        f"iters={iters} (mix: 4 backbone / 16 patched / 3 spliced "
+        f"/ 1 packed, per measured 1KGP shares) time={dt:.3f}s "
         f"hits={len(res.hits)} "
         f"hist_checksum={int(res.hists.sum())} "
         f"resident: {res_iters} iters {dt_res:.3f}s "

@@ -254,6 +254,12 @@ PALLAS_HIST_MIN_ELEMS = float(
 )
 
 
+# True while tracing inside a runscan shard_map body (each shard is a
+# single device's static-shaped block, so the Mosaic histogram kernel is
+# usable there even on a multi-device host)
+IN_SHARD_BODY = False
+
+
 def _pallas_hist_mode() -> str:
     """``'off' | 'bf16' | 'int8' | 'bf16lo128' | 'v2bf16' | 'v2int8'`` —
     resolved at TRACE time.
@@ -281,7 +287,7 @@ def _pallas_hist_mode() -> str:
     if v == "auto":
         if (
             jax.default_backend() == "tpu"
-            and len(jax.local_devices()) == 1
+            and (len(jax.local_devices()) == 1 or IN_SHARD_BODY)
             and SCAN_ELEMS_HINT >= PALLAS_HIST_MIN_ELEMS
         ):
             return "bf16lo128"  # fastest measured variant (bench_hist2)
@@ -308,13 +314,18 @@ def _exact_hist(
     if mode != "off" and scores.shape[-1] <= 16:  # pallas_hist.MAX_M
         from grafimo_tpu.ops.pallas_hist import hist_pallas, hist_pallas2
 
+        # non-TPU backends (CPU meshes in tests / dryrun) execute the
+        # same kernel through the Pallas interpreter, so the sharded
+        # code path is exercised without hardware
+        interp = jax.default_backend() != "tpu"
         if mode.startswith("v2"):
             return hist_pallas2(
-                scores, hist_size, use_int8=mode == "v2int8"
+                scores, hist_size, use_int8=mode == "v2int8",
+                interpret=interp,
             )
         return hist_pallas(
             scores, hist_size, use_int8=mode == "int8",
-            lo_w=128 if mode == "bf16lo128" else 256,
+            lo_w=128 if mode == "bf16lo128" else 256, interpret=interp,
         )
     b, noff, m = scores.shape
     n_hi = (hist_size + 255) // 256 + 1  # + spill row for invalid

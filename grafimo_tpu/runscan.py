@@ -741,6 +741,163 @@ class RunScanResult:
     scoring_time: float = 0.0
 
 
+_SHARD_KERNEL_FACTORIES: Dict[object, dict] = {}
+
+
+def _shard_kernels_for(mesh) -> dict:
+    """Per-mesh cache of :func:`_make_shard_kernels` (the wrapped
+    steppers own jit caches — rebuilding them per scan_batches call
+    would recompile every per-width pass)."""
+    got = _SHARD_KERNEL_FACTORIES.get(mesh)
+    if got is None:
+        got = _make_shard_kernels(mesh)
+        _SHARD_KERNEL_FACTORIES[mesh] = got
+    return got
+
+
+def _make_shard_kernels(mesh):
+    """shard_map-wrapped production kernels for multi-device hosts.
+
+    GSPMD auto-sharding cannot partition a Mosaic (Pallas) kernel, so
+    the round-3 multi-device path fell back to the XLA-dot histogram
+    (1.5x slower per chip) and had to gate off histogram compression
+    (whose smaller contraction flipped XLA:CPU's partitioner to a
+    deadlocking all-gather plan).  Under ``shard_map`` neither problem
+    exists by construction: every shard runs the ORIGINAL single-device
+    kernel on its static-shaped row block (Pallas histogram included),
+    and the only collectives are an explicit ``psum`` of the
+    ``(hist_size, m)`` histogram + scalar hit counts and the stacked
+    top-index lists — no partitioner choices at all.
+
+    Returned wrappers are call-compatible with the ``*_topk`` kernels
+    they wrap.  Cross-shard semantics:
+
+    * histogram: per-shard zero-based accumulation, ``psum``, added to
+      the donated accumulator in the outer jit — bit-identical;
+    * ``n_hits``: per-shard counts summed.  Exact whenever the compact
+      list is consumed (no shard overflowed); when any shard overflows
+      its slots both values exceed ``topk`` and the caller takes the
+      same exact bitmask fallback;
+    * ``top_vals``: per-shard ascending flat indices are shifted into
+      the global row space (``+ shard * rows_local * noff * m``) —
+      shards own disjoint ascending ranges, so the global first-``K``
+      list is the sorted concatenation (empty slots sort past
+      ``INT32_MAX``), identical to the single-device list.
+
+    Bit-parity with the single-device dispatch is pinned by
+    ``tests/test_parallel.py::test_scan_batches_mesh_identity`` (this
+    path) on the 8-device CPU mesh.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    import grafimo_tpu.ops.score_runs as _sr
+
+    # arg layouts AFTER hist_acc, BEFORE the static ints: True = row-
+    # sharded over 'data' (dim 0), False = replicated
+    LAYOUT = {
+        "device": (True, True, True, False, False, False),
+        "resident": (False, False, True, True, False, False, False),
+        "patched": (False, False, True, True, True, False, False, False),
+        "spliced": (
+            False, False, True, True, True, True, False, False, False,
+        ),
+    }
+    INNER = {
+        "device": _sr.scan_runs_device_topk,
+        "resident": _sr.scan_runs_resident_topk,
+        "patched": _sr.scan_runs_resident_patched_topk,
+        "spliced": _sr.scan_runs_resident_spliced_topk,
+    }
+
+    @functools.lru_cache(maxsize=64)
+    def _build(kind, none_mask, kstat, m, noff):
+        inner = INNER[kind]
+        layout = LAYOUT[kind]
+        hist_size_ = kstat[-2]
+        topk = kstat[-1]
+        live_row = [
+            row for i, row in enumerate(layout) if not none_mask[i]
+        ] + [False]  # + hist_bases (replicated)
+        in_specs = tuple(P("data") if row else P() for row in live_row)
+
+        def body(*args):
+            it = iter(args)
+            full = [
+                None if none_mask[i] else next(it)
+                for i in range(len(layout))
+            ]
+            bases = next(it)
+            zero = jnp.zeros((hist_size_, m), jnp.int32)
+            prev = _sr.IN_SHARD_BODY
+            _sr.IN_SHARD_BODY = True
+            try:
+                h, hb, nh, tv = inner(
+                    zero, *full, *kstat, hist_bases=bases
+                )
+            finally:
+                _sr.IN_SHARD_BODY = prev
+            h = jax.lax.psum(h, "data")
+            # shift per-shard ascending flat indices (+1-coded, row
+            # stride noff*m) into the global row space: shards own
+            # contiguous disjoint ascending ranges
+            rows_local = full[layout.index(True)].shape[0]
+            shard = jax.lax.axis_index("data").astype(jnp.int32)
+            tv = jnp.where(
+                tv > 0, tv + shard * (rows_local * noff * m), 0
+            )
+            return h, hb, nh[None], tv[None]
+
+        out_specs = (
+            P(),
+            P("data"),
+            P("data"),
+            P("data"),
+        )
+        shmap = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def stepper(hist_acc, *arrays):
+            h, hb, nh_st, tv_st = shmap(*arrays)
+            nh = nh_st.sum().astype(jnp.int32)
+            flat = tv_st.reshape(-1)
+            k_slots = min(topk, flat.shape[0])
+            key = jnp.where(flat > 0, flat, jnp.int32(0x7FFFFFFF))
+            merged = jax.lax.sort(key)[:k_slots]
+            tv = jnp.where(merged == jnp.int32(0x7FFFFFFF), 0, merged)
+            return hist_acc + h, hb, nh, tv
+
+        return stepper
+
+    def wrap(kind):
+        n_arr = len(LAYOUT[kind])
+
+        def call(hist_acc, *args, hist_bases=None):
+            arrays = args[:n_arr]
+            kstat = tuple(int(s) for s in args[n_arr:])
+            m = hist_acc.shape[1]
+            if kind == "device":
+                r = arrays[0].shape[1] * 4  # packed (B, R/4)
+                noff = r - kstat[0] + 1
+            else:
+                noff = kstat[0] - kstat[1] + 1  # r - k + 1
+            none_mask = tuple(a is None for a in arrays)
+            stepper = _build(kind, none_mask, kstat, m, noff)
+            live = [a for a in arrays if a is not None] + [hist_bases]
+            return stepper(hist_acc, *live)
+
+        return call
+
+    return {k_: wrap(k_) for k_ in
+            ("device", "resident", "patched", "spliced")}
+
+
 def scan_batches(
     batches: List[DeviceBatch],
     pwm_kernel: np.ndarray,
@@ -792,6 +949,18 @@ def scan_batches(
         s_rep = NamedSharding(mesh, PartitionSpec())
         s_rows = NamedSharding(mesh, PartitionSpec("data"))
         n_data = len(devs)
+        # shard_map dispatch (default): every shard runs the original
+        # single-device kernel — Pallas histogram and compression
+        # included — and only explicit psums cross chips.  The GSPMD
+        # auto-shard path (GRAFIMO_SHARDMAP_SCAN=0) is kept for A-B
+        # comparison; it cannot partition Mosaic kernels and regresses
+        # with compression (docs/BENCHMARKS.md).
+        if os.environ.get("GRAFIMO_SHARDMAP_SCAN", "1") != "0":
+            _sk = _shard_kernels_for(mesh)
+            scan_runs_device_topk = _sk["device"]
+            scan_runs_resident_topk = _sk["resident"]
+            scan_runs_resident_patched_topk = _sk["patched"]
+            scan_runs_resident_spliced_topk = _sk["spliced"]
 
     def _rep(x):
         """Replicate over the mesh (no-op single-device)."""
@@ -846,19 +1015,33 @@ def scan_batches(
     # Compression rides the Pallas-histogram decision: measured on v5e it
     # trims the Pallas full kernel (11.07 vs 11.37 ms) but REGRESSES the
     # XLA-dot histogram (21.6 vs 15.1 ms — the smaller hi plane lands on
-    # a worse XLA contraction schedule), and under GSPMD the smaller
-    # contraction flips XLA:CPU's partitioner to an all-gather strategy
-    # whose overlapped rendezvous deadlocks the in-process communicator
-    # (deterministic abort, round 3).  Multi-HOST runs (one device per
-    # process, mesh None, big shards) still qualify — the cross-host
-    # psum happens on the already-expanded full histogram.
+    # a worse XLA contraction schedule), and under GSPMD auto-sharding
+    # the smaller contraction flips XLA:CPU's partitioner to an
+    # all-gather strategy whose overlapped rendezvous deadlocks the
+    # in-process communicator (deterministic abort, round 3).  The
+    # round-4 shard_map dispatch has neither problem — each shard runs
+    # the single-device kernel (Pallas + compression) and the only
+    # collective is an explicit psum — so multi-device qualifies again
+    # whenever shard_map dispatch is on.  Multi-HOST runs (one device
+    # per process, mesh None, big shards) qualify as before.
     # GRAFIMO_HIST_COMPRESS: auto (default) | force | off.
     _comp_env = os.environ.get("GRAFIMO_HIST_COMPRESS", "auto")
+    _shardmap_on = mesh is not None and os.environ.get(
+        "GRAFIMO_SHARDMAP_SCAN", "1"
+    ) != "0"
+    # evaluate the histogram-backend choice as the kernels will see it
+    # (inside a shard_map body when that dispatch is on)
+    _prev_shard = _sr.IN_SHARD_BODY
+    _sr.IN_SHARD_BODY = _shardmap_on
+    try:
+        _hist_mode_on = _sr._pallas_hist_mode() != "off"
+    finally:
+        _sr.IN_SHARD_BODY = _prev_shard
     use_comp = _comp_env == "force" or (
         _comp_env not in ("off",)
-        and mesh is None
+        and (mesh is None or _shardmap_on)
         and m <= 16  # pallas_hist.MAX_M
-        and _sr._pallas_hist_mode() != "off"
+        and _hist_mode_on
     )
     if use_comp:
         hist_bases = pwm_np.min(axis=1).sum(axis=0).astype(np.int64)

@@ -171,3 +171,162 @@ def test_scan_batches_mesh_identity(monkeypatch):
     assert res_mesh.n_windows_per_col.tolist() == [
         int(valid.sum())
     ] * 2
+
+
+def test_pallas_hist_per_shard_bit_identical(ctcf, monkeypatch):
+    """The Pallas VMEM-one-hot histogram runs per shard inside
+    shard_map (interpreted on the CPU mesh) and matches the XLA-dot
+    sharded path bit for bit — the multi-device fast path of
+    docs/BENCHMARKS.md."""
+    from grafimo_tpu.ops.score_runs import pack_bits, pack_run_seqs
+    from grafimo_tpu.parallel.pipeline import (
+        sharded_resident_scan,
+        sharded_run_scan,
+    )
+    from grafimo_tpu.ops.score_runs import bytes_to_words
+
+    k = 19
+    R = 64
+    noff = R - k + 1
+    hs = hist_size_for_width(k)
+    rng = np.random.default_rng(3)
+    b_rows = 16
+    codes = rng.integers(0, 4, (b_rows, R)).astype(np.uint8)
+    packed = pack_run_seqs(codes)
+    nbits = pack_bits(np.zeros((b_rows, R), bool))
+    vbits = pack_bits(np.ones((b_rows, noff), bool))
+    kern = np.stack(
+        [
+            np.asarray(p, np.float32).T
+            for p in (
+                ctcf.score_matrix,
+                reverse_complement_pwm(ctcf.score_matrix),
+            )
+        ],
+        axis=-1,
+    )
+    mins = np.array([ctcf.min_score] * 2, dtype=np.int32)
+    cuts = np.zeros(2, dtype=np.int32)
+    mesh = make_mesh(n_data=4, n_motif=2)
+
+    ref = sharded_run_scan(mesh, k, hs)(
+        packed, nbits, vbits, kern, mins, cuts
+    )
+    monkeypatch.setenv("GRAFIMO_PALLAS_HIST", "bf16lo128")
+    pal = sharded_run_scan(mesh, k, hs, pallas_hist=True)(
+        packed, nbits, vbits, kern, mins, cuts
+    )
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(pal[0]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(pal[2]))
+
+    genome = rng.integers(0, 4, 2048).astype(np.uint8)
+    g4 = bytes_to_words(pack_run_seqs(genome[None, :])[0])
+    gstart = rng.integers(0, 2048 - R, b_rows).astype(np.int32)
+    monkeypatch.delenv("GRAFIMO_PALLAS_HIST")
+    ref2 = sharded_resident_scan(mesh, R, k, hs)(
+        g4, gstart, vbits, kern, mins, cuts
+    )
+    monkeypatch.setenv("GRAFIMO_PALLAS_HIST", "bf16lo128")
+    pal2 = sharded_resident_scan(mesh, R, k, hs, pallas_hist=True)(
+        g4, gstart, vbits, kern, mins, cuts
+    )
+    np.testing.assert_array_equal(np.asarray(ref2[0]), np.asarray(pal2[0]))
+    np.testing.assert_array_equal(np.asarray(ref2[2]), np.asarray(pal2[2]))
+
+
+def test_scan_batches_shardmap_all_kinds_identity(ctcf, monkeypatch):
+    """shard_map dispatch with per-shard Pallas histogram + compression
+    forced: backbone / patched / spliced / packed batches all produce
+    bit-identical histograms and hit lists to the single-device path."""
+    from grafimo_tpu.models.pvalue import PvalueLookup
+    from grafimo_tpu.ops.score_runs import pack_bits, pack_run_seqs
+    from grafimo_tpu.runscan import (
+        PATCH_SLOTS,
+        DeviceBatch,
+        RunChunk,
+        scan_batches,
+    )
+    from grafimo_tpu.ops.score_runs import pwms_to_conv_kernel
+
+    k = ctcf.width
+    hs = 1000 * k + 1
+    kern = pwms_to_conv_kernel(
+        [ctcf.score_matrix, reverse_complement_pwm(ctcf.score_matrix)]
+    )
+    mins = np.array([ctcf.min_score] * 2, np.int32)
+    cut = PvalueLookup(ctcf.pval_table).score_cutoff(1e-2)
+    cuts = np.array([cut] * 2, np.int32)
+    B, R = 21, 64  # not a multiple of the 8-device mesh
+    noff = R - k + 1
+    rng = np.random.default_rng(11)
+
+    class Shim:
+        pass
+
+    shim = Shim()
+    shim.seq = "".join(
+        "ACGT"[c] for c in rng.integers(0, 4, 4096)
+    )
+
+    def make_batches():
+        r2 = np.random.default_rng(5)
+        out = []
+        for kind in ("backbone", "patched", "spliced", "packed"):
+            chunks = [RunChunk(("t", (-1, 0)), 0) for _ in range(B)]
+            common = dict(
+                R=R, packed=None, nbits=None,
+                vbits=pack_bits(r2.random((B, noff)) < 0.9),
+                chunks=chunks, graph=shim,
+            )
+            gstart = r2.integers(8, 4096 - R - 64, B).astype(np.int32)
+            if kind == "backbone":
+                out.append(DeviceBatch(gstart=gstart, **common))
+            elif kind == "patched":
+                pat = np.full((B, PATCH_SLOTS), -1, np.int16)
+                pat[:, 0] = (
+                    r2.integers(0, R, B) * 4 + r2.integers(0, 4, B)
+                ).astype(np.int16)
+                out.append(
+                    DeviceBatch(gstart=gstart, patches=pat, **common)
+                )
+            elif kind == "spliced":
+                splice = np.full((B, 4), 0x7FFF, np.int16)
+                splice[:, 0] = r2.integers(k, R - k, B).astype(np.int16)
+                splice[:, 1] = r2.integers(-6, 7, B).astype(np.int16)
+                pat = np.full((B, PATCH_SLOTS), -1, np.int16)
+                pat[:, 0] = (
+                    splice[:, 0].astype(np.int64) * 4
+                    + r2.integers(0, 4, B)
+                ).astype(np.int16)
+                out.append(
+                    DeviceBatch(
+                        gstart=gstart, splice=splice, patches=pat,
+                        **common,
+                    )
+                )
+            else:
+                codes = r2.integers(0, 4, (B, R)).astype(np.uint8)
+                nmask = np.zeros((B, R), bool)
+                nmask[2, 5] = True
+                out.append(
+                    DeviceBatch(
+                        R=R, packed=pack_run_seqs(codes),
+                        nbits=pack_bits(nmask),
+                        vbits=pack_bits(np.ones((B, noff), bool)),
+                        chunks=chunks,
+                    )
+                )
+        return out
+
+    monkeypatch.setenv("GRAFIMO_PALLAS_HIST", "bf16lo128")
+    monkeypatch.setenv("GRAFIMO_HIST_COMPRESS", "force")
+    res_mesh = scan_batches(make_batches(), kern, mins, cuts, k, hs)
+    # clear the resident-genome device cache (sharding layout differs)
+    del shim._genome_dev_cache
+    monkeypatch.setenv("GRAFIMO_TPU_SINGLE_DEVICE", "1")
+    monkeypatch.delenv("GRAFIMO_PALLAS_HIST")
+    monkeypatch.delenv("GRAFIMO_HIST_COMPRESS")
+    res_one = scan_batches(make_batches(), kern, mins, cuts, k, hs)
+    assert (res_mesh.hists == res_one.hists).all()
+    assert sorted(res_mesh.hits) == sorted(res_one.hits)
+    assert len(res_mesh.hits) > 0
