@@ -261,10 +261,10 @@ _BGZF_EOF = bytes.fromhex(
 )
 
 
-def _bgzf_block(data: bytes) -> bytes:
+def _bgzf_block(data: bytes, level: int = 6) -> bytes:
     """One BGZF block: gzip member with the htslib ``BC`` (BSIZE) extra
     subfield so vg/htslib's virtual-offset reader accepts it."""
-    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = zlib.compressobj(level, zlib.DEFLATED, -15)
     deflated = comp.compress(data) + comp.flush()
     bsize = 12 + 6 + len(deflated) + 8  # header+xtra+payload+crc/isize
     header = (

@@ -191,10 +191,23 @@ def _enc_vector(r: _Reader) -> np.ndarray:
 
 _RRR_SPACE = [comb(63, k).bit_length() if 0 < k < 63 else 0
               for k in range(64)]
+_RRR_SPACE_ARR = np.asarray(_RRR_SPACE, dtype=np.int64)
+# C(62 - i, k) lookup for the vectorized unranking below; values fit
+# int64 (max C(62, 31) ~ 4.5e17)
+_COMB62 = np.zeros((63, 64), dtype=np.int64)
+for _n in range(63):
+    for _k in range(64):
+        _COMB62[_n, _k] = comb(_n, _k) if _k <= _n else 0
 
 
 def _rrr_vector(r: _Reader) -> Tuple[np.ndarray, int]:
-    """sdsl ``rrr_vector<63>`` -> (positions of set bits, size)."""
+    """sdsl ``rrr_vector<63>`` -> (positions of set bits, size).
+
+    Decoding is vectorized across blocks (chromosome-scale paths have
+    millions of 63-bit blocks): per-block offset codes are gathered
+    with two-word loads at their cumulative bit offsets, then the
+    combinatorial-number-system unranking runs as 63 iterations of
+    elementwise numpy over ALL blocks at once (~50M blocks/min)."""
     m_size = r.u64()
     bt = _iv0(r)
     bits = r.u64()
@@ -202,26 +215,46 @@ def _rrr_vector(r: _Reader) -> Tuple[np.ndarray, int]:
     words = np.frombuffer(r.raw(8 * nw), dtype="<u8")
     _iv0(r)  # m_btnrp block pointers (sequential decode needs none)
     _iv0(r)  # m_rank_samples
-    if len(bt) != (m_size + 62) // 63:
+    nb = len(bt)
+    if nb != (m_size + 62) // 63:
         raise GraphError("xg: rrr_vector block count mismatch")
-    bs = _BitStream(words, bits)
-    ones: List[int] = []
-    for bi, k in enumerate(bt):
-        k = int(k)
-        if k == 63:
-            ones.extend(range(bi * 63, bi * 63 + 63))
-            continue
-        code = bs.take(_RRR_SPACE[k])
-        base = bi * 63
-        for i in range(63):
-            if k == 0:
-                break
-            c = comb(62 - i, k)
-            if code >= c:
-                code -= c
-                ones.append(base + i)
-                k -= 1
-    pos = np.asarray(ones, dtype=np.int64)
+    if nb == 0:
+        return np.zeros(0, dtype=np.int64), m_size
+    k0 = bt.astype(np.int64)
+    space = _RRR_SPACE_ARR[k0]
+    off = np.zeros(nb, dtype=np.int64)
+    np.cumsum(space[:-1], out=off[1:])
+    if nb and int(off[-1] + space[-1]) > bits:
+        raise GraphError("xg: rrr_vector offset stream overrun")
+    # gather each block's <= 60-bit code: two-word load + funnel shift
+    wi = (off >> 6).astype(np.int64)
+    sh = (off & 63).astype(np.uint64)
+    w = np.concatenate([words, np.zeros(1, dtype="<u8")])
+    lo = w[wi] >> sh
+    hi = np.where(
+        sh == 0, np.uint64(0), w[np.minimum(wi + 1, len(w) - 1)]
+        << ((np.uint64(64) - sh) & np.uint64(63))
+    )
+    mask = np.where(
+        space >= 64, ~np.uint64(0),
+        (np.uint64(1) << space.astype(np.uint64)) - np.uint64(1),
+    )
+    code = ((lo | hi) & mask).astype(np.int64)
+    # unrank: 63 elementwise iterations over all blocks
+    k = k0.copy()
+    bitmat = np.zeros((nb, 63), dtype=bool)
+    for i in range(63):
+        c = _COMB62[62 - i, np.minimum(k, 63)]
+        # c == 0 (fewer remaining positions than remaining bits) forces
+        # a take, matching comb(n, k) = 0 for k > n in the scalar form;
+        # k0 == 63 blocks carry no code and are all-ones
+        take = ((k > 0) & (code >= c)) | (k0 == 63)
+        bitmat[:, i] = take
+        code = np.where(take & (k0 != 63), code - c, code)
+        k = np.where(take & (k0 != 63), k - 1, k)
+    if np.any(k[k0 != 63] != 0):
+        raise GraphError("xg: rrr_vector class/offset mismatch")
+    pos = np.flatnonzero(bitmat.reshape(-1)).astype(np.int64)
     if len(pos) and pos[-1] >= m_size:
         raise GraphError("xg: rrr_vector bit beyond size")
     return pos, m_size
@@ -334,61 +367,74 @@ def _read_payload(payload: bytes):
     if len(s_iv) != seq_len:
         raise GraphError("xg: sequence length mismatch")
 
-    # --- decode records: segments + links -------------------------------
-    starts = [int(x) for x in g_pos] + [len(g_iv)]
+    # --- decode records: segments + links (vectorized — chromosome-
+    # scale graphs have millions of records) ------------------------------
     g = g_iv  # int64 array
     if int(s_iv.max(initial=0)) >= len(_SEQ_CODES):
         raise GraphError("xg: unknown sequence code")
-    seq_all = "".join(_SEQ_CODES[c] for c in s_iv)
+    seq_all = (
+        np.frombuffer(_SEQ_CODES.encode(), np.uint8)[s_iv]
+        .tobytes().decode()
+    )
     # node starts in sequence space: s_bv marks each node start (and,
     # in some builds, an end sentinel)
-    s_starts = [int(x) for x in s_pos]
-    if len(s_starts) == node_count + 1 and s_starts[-1] == seq_len:
-        s_starts = s_starts[:-1]
-    if len(s_starts) != node_count:
+    sb = s_pos.astype(np.int64)
+    if len(sb) == node_count + 1 and sb[-1] == seq_len:
+        sb = sb[:-1]
+    if len(sb) != node_count:
         raise GraphError("xg: sequence node-start count mismatch")
-    s_starts.append(seq_len)
+    sb = np.append(sb, seq_len)
 
-    segments: Dict[str, str] = {}
-    links: List[Tuple[str, str, str, str]] = []
-    off_to_rank = {int(p): i for i, p in enumerate(g_pos)}
-    ids: List[int] = []
-    for rank in range(node_count):
-        a, b = starts[rank], starts[rank + 1]
-        if b - a < 5:
-            raise GraphError("xg: truncated graph record")
-        nid = int(g[a])
-        slen = int(g[a + 2])
-        to_cnt = int(g[a + 3])
-        from_cnt = int(g[a + 4])
-        if b - a != 5 + to_cnt + from_cnt:
-            raise GraphError("xg: graph record size mismatch")
-        if not min_id <= nid <= max_id:
-            raise GraphError("xg: node id out of declared range")
-        seq = seq_all[s_starts[rank] : s_starts[rank + 1]]
-        if len(seq) != slen:
-            raise GraphError("xg: node sequence length mismatch")
-        segments[str(nid)] = seq
-        ids.append(nid)
-        for e in range(from_cnt):
-            ev = int(g[a + 5 + to_cnt + e])
-            if ev & 1:
-                raise GraphError(
-                    "xg: inversion edge (not representable as site "
-                    "alleles)"
-                )
-            zz = ev >> 1
-            delta = (zz >> 1) if zz % 2 == 0 else -((zz + 1) >> 1)
-            other = a + delta
-            if other not in off_to_rank:
-                raise GraphError("xg: edge target offset not a record")
-            links.append((str(nid), "+", str(ids_at(g, g_pos, other)),
-                          "+"))
-    if len(links) != edge_count:
+    starts_arr = g_pos.astype(np.int64)
+    rec_len = np.diff(np.append(starts_arr, len(g)))
+    if np.any(rec_len < 5):
+        raise GraphError("xg: truncated graph record")
+    nid_arr = g[starts_arr]
+    slen = g[starts_arr + 2]
+    to_cnt = g[starts_arr + 3]
+    from_cnt = g[starts_arr + 4]
+    if np.any(rec_len != 5 + to_cnt + from_cnt):
+        raise GraphError("xg: graph record size mismatch")
+    if np.any((nid_arr < min_id) | (nid_arr > max_id)):
+        raise GraphError("xg: node id out of declared range")
+    if np.any(np.diff(sb) != slen):
+        raise GraphError("xg: node sequence length mismatch")
+    # from-edges, flattened over all records
+    n_from = int(from_cnt.sum())
+    if n_from != edge_count:
         raise GraphError(
-            f"xg: decoded {len(links)} edges, header says {edge_count}"
+            f"xg: decoded {n_from} edges, header says {edge_count}"
         )
-    if len(id_vec) == node_count and list(id_vec) != ids:
+    excl = np.zeros(node_count, dtype=np.int64)
+    np.cumsum(from_cnt[:-1], out=excl[1:])
+    flat = np.arange(n_from, dtype=np.int64) - np.repeat(excl, from_cnt)
+    idx = np.repeat(starts_arr + 5 + to_cnt, from_cnt) + flat
+    ev = g[idx]
+    if np.any(ev & 1):
+        raise GraphError(
+            "xg: inversion edge (not representable as site alleles)"
+        )
+    zz = ev >> 1
+    delta = np.where(zz % 2 == 0, zz >> 1, -((zz + 1) >> 1))
+    other = np.repeat(starts_arr, from_cnt) + delta
+    rank_e = np.searchsorted(starts_arr, other)
+    if np.any(rank_e >= node_count) or np.any(
+        starts_arr[np.minimum(rank_e, node_count - 1)] != other
+    ):
+        raise GraphError("xg: edge target offset not a record")
+    src_ids = np.repeat(nid_arr, from_cnt).tolist()
+    dst_ids = nid_arr[rank_e].tolist()
+    links: List[Tuple[str, str, str, str]] = [
+        (str(a), "+", str(b), "+") for a, b in zip(src_ids, dst_ids)
+    ]
+    ids = [int(x) for x in nid_arr]
+    segments: Dict[str, str] = {
+        str(ids[i]): seq_all[sb[i] : sb[i + 1]]
+        for i in range(node_count)
+    }
+    if len(id_vec) == node_count and not np.array_equal(
+        np.asarray(id_vec), nid_arr
+    ):
         # id vector disagrees with per-record ids: sorted-rank invariant
         # broken somewhere
         raise GraphError("xg: id vector / record id mismatch")
@@ -413,11 +459,8 @@ def _read_payload(payload: bytes):
         names.append(raw.lstrip("#").rstrip("$"))
 
     # --- XGPaths ---------------------------------------------------------
-    node_len = np.asarray(
-        [s_starts[i + 1] - s_starts[i] for i in range(node_count)],
-        dtype=np.int64,
-    )
-    g_pos_arr = np.asarray(g_pos, dtype=np.int64)
+    node_len = np.diff(sb)
+    g_pos_arr = starts_arr
     paths: Dict[str, List[Tuple[str, str]]] = {}
     for pi in range(path_count):
         min_handle = r.u64()
@@ -443,11 +486,6 @@ def _read_payload(payload: bytes):
         paths[names[pi]] = [(str(ids[int(k)]), "+") for k in ranks]
 
     return segments, links, paths
-
-
-def ids_at(g: np.ndarray, g_pos: np.ndarray, offset: int) -> int:
-    """Node id stored at a g-vector record offset."""
-    return int(g[offset])
 
 
 def xg_to_sitegraph(

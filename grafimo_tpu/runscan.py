@@ -741,6 +741,165 @@ class RunScanResult:
     scoring_time: float = 0.0
 
 
+def precompile_width_kernels(
+    width_motifs, graphs, no_reverse: bool = False,
+    elems_hint: float = 0.0, verbose: bool = False,
+):
+    """Overlap later widths' kernel compiles with the current width's
+    extraction + scan (the config-5 ladder's dominant wall-clock tax:
+    60-230 s/width of Mosaic/XLA compiles through the tunnel that the
+    persistent cache does not absorb, docs/BENCHMARKS.md).
+
+    A daemon thread walks the widths in scan order and, for each
+    (width, chromosome-length) combination, dispatches ONE call of each
+    production kernel at its dominant production shape (largest R
+    bucket, full ``rows_per`` rows, clean-slice ``vbits=None`` for the
+    strided backbone) against the chromosome's real resident plane —
+    also pre-uploading each genome once.  The real scan then hits warm
+    jit caches.  Mispredicted shapes cost one wasted compile and
+    nothing else; all failures are swallowed (best effort).  Gate:
+    ``GRAFIMO_PRECOMPILE=0`` disables.
+
+    ``width_motifs``: ``{width: [Motif, ...]}`` in scan order.
+    ``graphs``: the loaded SiteGraphs to be scanned.
+    """
+    import os
+    import threading
+
+    if os.environ.get("GRAFIMO_PRECOMPILE", "1") == "0":
+        return None
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None  # compiles are cheap off-TPU; don't burn host CPU
+    if len(jax.local_devices()) > 1:
+        return None  # multi-device dispatch shapes differ; not modeled
+
+    def _work():
+        import jax.numpy as jnp
+
+        import grafimo_tpu.ops.score_runs as _sr
+        from grafimo_tpu.ops.score_jax import reverse_complement_pwm
+        from grafimo_tpu.ops.score_runs import (
+            pack_bits,
+            pwms_to_conv_kernel,
+            scan_runs_resident_patched_topk,
+            scan_runs_resident_spliced_topk,
+            scan_runs_resident_strided_topk,
+            scan_runs_resident_topk,
+        )
+
+        _sr.SCAN_ELEMS_HINT = max(_sr.SCAN_ELEMS_HINT, elems_hint)
+        devs_key = (tuple(jax.local_devices()), False)
+        planes = []
+        for g in graphs:
+            try:
+                cached = getattr(g, "_genome_dev_cache", None)
+                if cached is not None and cached[0] == devs_key:
+                    planes.append(cached[1])
+                    continue
+                c4, npl = _resident_genome(g)
+                put = (
+                    jax.device_put(c4),
+                    jax.device_put(npl) if npl is not None else None,
+                )
+                g._genome_dev_cache = (devs_key, put)
+                planes.append(put)
+            except Exception:
+                return
+        import time as _time
+
+        for width, motifs in width_motifs.items():
+            try:
+                t0 = _time.perf_counter()
+                mats = []
+                for mt in motifs:
+                    mats.append(mt.score_matrix)
+                    if not no_reverse:
+                        mats.append(
+                            reverse_complement_pwm(mt.score_matrix)
+                        )
+                pwm = pwms_to_conv_kernel(mats)
+                m = pwm.shape[-1]
+                k = width
+                hist_size = 1000 * k + 1
+                # mirror scan_batches' compression decision
+                comp_env = os.environ.get("GRAFIMO_HIST_COMPRESS",
+                                          "auto")
+                use_comp = comp_env == "force" or (
+                    comp_env != "off" and m <= 16
+                    and _sr._pallas_hist_mode() != "off"
+                )
+                if use_comp:
+                    bases = pwm.min(axis=1).sum(axis=0).astype(np.int64)
+                    tops = pwm.max(axis=1).sum(axis=0).astype(np.int64)
+                    comp_size = int((tops - bases).max()) + 2
+                else:
+                    bases = np.zeros(m, np.int64)
+                    comp_size = hist_size
+                bases_dev = jax.device_put(bases.astype(np.int32))
+                pwm_dev = jax.device_put(pwm)
+                mins_dev = jax.device_put(np.zeros(m, np.int32))
+                cuts_dev = jax.device_put(
+                    np.full(m, 10**9, np.int32)
+                )
+                R = BUCKETS[-1]
+                rows = max(
+                    1, (MAX_BASES_PER_DISPATCH // max(1, m // 4)) // R
+                )
+                stride = R - k + 1
+                noffb = (stride + 7) // 8
+                vb = jax.device_put(
+                    pack_bits(np.zeros((rows, stride), bool))
+                )
+                pat = jax.device_put(
+                    np.full((rows, PATCH_SLOTS), -1, np.int16)
+                )
+                spl = jax.device_put(
+                    np.full((rows, 4), 0x7FFF, np.int16)
+                )
+                gs = jax.device_put(np.zeros(rows, np.int32))
+                for g4, gn in planes:
+                    acc = jnp.zeros((comp_size, m), jnp.int32)
+                    out = scan_runs_resident_strided_topk(
+                        acc, g4, gn, jnp.int32(0), None, pwm_dev,
+                        mins_dev, cuts_dev, rows, stride, R, k,
+                        comp_size, SCAN_TOPK, hist_bases=bases_dev,
+                    )
+                    acc = jnp.zeros((comp_size, m), jnp.int32)
+                    out2 = scan_runs_resident_topk(
+                        acc, g4, gn, gs, vb, pwm_dev, mins_dev,
+                        cuts_dev, R, k, comp_size, SCAN_TOPK,
+                        hist_bases=bases_dev,
+                    )
+                    acc = jnp.zeros((comp_size, m), jnp.int32)
+                    out3 = scan_runs_resident_patched_topk(
+                        acc, g4, gn, gs, pat, vb, pwm_dev, mins_dev,
+                        cuts_dev, R, k, comp_size, SCAN_TOPK,
+                        hist_bases=bases_dev,
+                    )
+                    acc = jnp.zeros((comp_size, m), jnp.int32)
+                    out4 = scan_runs_resident_spliced_topk(
+                        acc, g4, gn, gs, spl, pat, vb, pwm_dev,
+                        mins_dev, cuts_dev, R, k, comp_size,
+                        SCAN_TOPK, hist_bases=bases_dev,
+                    )
+                    jax.block_until_ready((out, out2, out3, out4))
+                if verbose:
+                    print(
+                        f"precompile: width {width} kernels warm "
+                        f"({_time.perf_counter() - t0:.1f}s)"
+                    )
+            except Exception as exc:  # best effort, never break the scan
+                if verbose:
+                    print(f"precompile: width {width} skipped ({exc})")
+
+    t = threading.Thread(target=_work, name="grafimo-precompile",
+                         daemon=True)
+    t.start()
+    return t
+
+
 _SHARD_KERNEL_FACTORIES: Dict[object, dict] = {}
 
 

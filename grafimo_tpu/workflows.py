@@ -425,8 +425,26 @@ def findmotif(workflow: Findmotif) -> List[str]:
     if workflow.engine == "runs":
         # production path: run-compressed extraction + device conv scan,
         # all same-width motifs in one pass
-        from grafimo_tpu.runscan import build_region_runs, compute_results_runs
+        from grafimo_tpu.runscan import (
+            build_region_runs,
+            compute_results_runs,
+            precompile_width_kernels,
+        )
 
+        # overlap later widths' kernel compiles (and the one-time genome
+        # uploads) with extraction + scanning of earlier widths — the
+        # mixed-width ladder's Mosaic compiles are otherwise serial wall
+        # time (docs/BENCHMARKS.md config-5 note)
+        span = sum(
+            e - s for regs in regions.values() for s, e in regs
+        )
+        precompile_width_kernels(
+            {w: motif_set.by_width(w) for w in sorted(motif_set.widths)},
+            [g for _d, g in graphs.values()],
+            no_reverse=workflow.no_reverse,
+            elems_hint=float(span) * 2 * max(1, len(motif_set)),
+            verbose=workflow.verbose,
+        )
         for width in sorted(motif_set.widths):
             t0 = time.time()
             region_runs_list = []

@@ -131,3 +131,77 @@ def test_truncated_xg_raises_conversion_error(input_dir, tmp_path):
     bad.write_bytes(data[: len(data) // 2])
     with pytest.raises(GraphError):
         load_graph_file(str(bad))
+
+
+def test_rrr_vector_random_roundtrip():
+    """The vectorized rrr_vector<63> decoder inverts a reference
+    encoder over random bit vectors, including dense blocks that hit
+    the forced-take branch (k > remaining positions) and all-ones
+    blocks (class 63, zero offset bits)."""
+    import struct as _struct
+    from math import comb as _comb
+
+    import numpy as np
+
+    from grafimo_tpu.graph.gbwt import _Reader
+    from grafimo_tpu.graph.xg import _RRR_SPACE, _rrr_vector
+
+    rng = np.random.default_rng(42)
+    for trial, density in enumerate((0.05, 0.5, 0.97)):
+        m_size = int(rng.integers(1, 400))
+        bits = rng.random(m_size) < density
+        if trial == 2:
+            bits[:63] = True  # force one all-ones block
+        nb = (m_size + 62) // 63
+        padded = np.zeros(nb * 63, dtype=bool)
+        padded[:m_size] = bits
+        bt = []
+        stream = []  # (code, nbits)
+        for b in range(nb):
+            blk = padded[b * 63 : (b + 1) * 63]
+            k = int(blk.sum())
+            bt.append(k)
+            if k in (0, 63):
+                continue
+            code = 0
+            kk = k
+            for i in range(63):
+                if kk == 0:
+                    break
+                if blk[i]:
+                    code += _comb(62 - i, kk)
+                    kk -= 1
+            stream.append((code, _RRR_SPACE[k]))
+        # serialize: m_size, bt iv0(width 6), btnr bv, btnrp iv0 (empty-
+        # ish), rank_samples iv0
+        total_bits = sum(n for _c, n in stream)
+        words = np.zeros((max(total_bits, 1) + 63) // 64, np.uint64)
+        p = 0
+        for code, n in stream:
+            for j in range(n):
+                if (code >> j) & 1:
+                    words[(p + j) // 64] |= np.uint64(1) << np.uint64(
+                        (p + j) % 64
+                    )
+            p += n
+        def iv0(vals, width):
+            n = len(vals)
+            w = np.zeros((max(n * width, 1) + 63) // 64, np.uint64)
+            for i, v in enumerate(vals):
+                for j in range(width):
+                    if (v >> j) & 1:
+                        w[(i * width + j) // 64] |= np.uint64(1) << \
+                            np.uint64((i * width + j) % 64)
+            return (_struct.pack("<Q", n * width) + bytes([width])
+                    + w.tobytes())
+        blob = (
+            _struct.pack("<Q", m_size)
+            + iv0(bt, 6)
+            + _struct.pack("<Q", total_bits) + words[
+                : (total_bits + 63) // 64].tobytes()
+            + iv0([0], 6)
+            + iv0([0], 6)
+        )
+        pos, size = _rrr_vector(_Reader(blob))
+        assert size == m_size
+        np.testing.assert_array_equal(pos, np.flatnonzero(bits))

@@ -77,7 +77,12 @@ def make_variants(rng, seq, pos, H):
             continue
         af = float(afs[i])
         n_car = min(H, max(1, int(round(af * H))))
-        carriers = rng.choice(H, size=n_car, replace=False)
+        if n_car < H // 8:
+            # rare variant: sample with replacement + dedup (collision
+            # odds tiny; avoids numpy choice's O(H) permutation)
+            carriers = np.unique(rng.integers(0, H, n_car))
+        else:
+            carriers = rng.choice(H, size=n_car, replace=False)
         if kinds[i] < 0.12:
             ln = min(12, 1 + int(rng.geometric(0.45)))
             if rng.random() < 0.55 and p + ln + 1 < len(seq):  # deletion
@@ -113,12 +118,12 @@ class BgzfWriter:
     def write(self, b: bytes):
         self.buf += b
         while len(self.buf) >= 60000:
-            self.f.write(_bgzf_block(bytes(self.buf[:60000])))
+            self.f.write(_bgzf_block(bytes(self.buf[:60000]), level=1))
             del self.buf[:60000]
 
     def close(self):
         if self.buf:
-            self.f.write(_bgzf_block(bytes(self.buf)))
+            self.f.write(_bgzf_block(bytes(self.buf), level=1))
         self.f.write(_bgzf_block(b""))  # EOF marker
         self.f.close()
 
@@ -181,7 +186,7 @@ def run_cli(args, backend=None, timeout=7200):
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-4000:])
         raise RuntimeError(f"CLI failed rc={proc.returncode}: {args[:4]}")
-    return dt, rss, proc.stderr
+    return dt, rss, proc.stderr + proc.stdout
 
 
 def main():
@@ -194,6 +199,8 @@ def main():
     ap.add_argument("--cpu-scan", action="store_true",
                     help="findmotif on the CPU backend (debug)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bed-span", type=int, default=0,
+                    help="scan only the first N bases (0 = whole chrom)")
     args = ap.parse_args()
 
     H = 5096
@@ -238,8 +245,9 @@ def main():
 
     # --- whole-chromosome findmotif (TPU) -------------------------------
     bed = os.path.join(wd, "whole.bed")
+    span = args.bed_span or L
     with open(bed, "w") as f:
-        f.write(f"chr21\t0\t{L}\n")
+        f.write(f"chr21\t0\t{span}\n")
     backend = "cpu" if args.cpu_scan else None
     runs = []
     for rep in range(2):
