@@ -47,26 +47,20 @@ class HaploIndex:
         self.words = (n_hap + 63) // 64
         self.site_allele_rows = site_allele_rows
         self.alt_bits = alt_bits
-        # per-site OR of all alt bitsets: complement = ref-allele carriers.
-        # Vectorised: sites with exactly one alt row (the vast majority)
-        # are a fancy-index copy; only multi-allelic sites loop.
-        n_sites = len(site_allele_rows)
-        self.any_alt = np.zeros((n_sites, self.words), dtype=np.uint64)
-        single_s, single_r, multi = [], [], []
-        for sid, rows in enumerate(site_allele_rows):
-            if len(rows) == 1:
-                single_s.append(sid)
-                single_r.append(next(iter(rows.values())))
-            elif rows:
-                multi.append(sid)
-        if single_s:
-            self.any_alt[np.asarray(single_s)] = alt_bits[
-                np.asarray(single_r)
-            ]
-        for sid in multi:
-            for row in site_allele_rows[sid].values():
-                self.any_alt[sid] |= alt_bits[row]
         self._full = self._full_mask()
+
+    def _any_alt(self, sid: int) -> np.ndarray:
+        """Per-site OR of all alt bitsets (complement = ref carriers),
+        computed on demand: only hit reconstruction reads it — a handful
+        of sites per scan — while an eager ``(n_sites, words)`` build
+        dominated chromosome-graph load time (1.7M sites x 80 words)."""
+        rows = self.site_allele_rows[sid]
+        if len(rows) == 1:
+            return self.alt_bits[next(iter(rows.values()))]
+        acc = np.zeros(self.words, dtype=np.uint64)
+        for row in rows.values():
+            acc |= self.alt_bits[row]
+        return acc
 
     def _full_mask(self) -> np.ndarray:
         full = np.full(self.words, ~np.uint64(0), dtype=np.uint64)
@@ -153,7 +147,7 @@ class HaploIndex:
         acc = self._full.copy()
         for sid, allele in choices:
             if allele == 0:
-                acc &= ~self.any_alt[sid] & self._full
+                acc &= ~self._any_alt(sid) & self._full
             else:
                 row = self.site_allele_rows[sid].get(allele)
                 if row is None:

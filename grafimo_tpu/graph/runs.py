@@ -229,18 +229,27 @@ def _build_cluster_run(
     flank_l = max(0, cluster[0].ref_start - (k - 1))
     flank_r = min(chrom_len, cluster[-1].ref_end + (k - 1))
 
+    # piecewise assembly (ref spans as whole slices — dense clusters
+    # build hundreds of thousands of short runs, so per-base python and
+    # per-base ref_node_at lookups are the cost to avoid)
+    ref_nodes = _ref_node_array(graph)
     seq_parts: List[str] = []
-    pos_begin: List[int] = []
-    pos_end: List[int] = [flank_l]
-    node_of_base: List[int] = []
+    begin_parts: List[np.ndarray] = []
+    end_parts: List[np.ndarray] = []
+    node_parts: List[np.ndarray] = []
     site_info: List[Tuple[int, int, int, int]] = []
+    length = 0
 
     def emit_ref(lo: int, hi: int) -> None:
-        for c in range(lo, hi):
-            seq_parts.append(graph.seq[c])
-            pos_begin.append(c)
-            pos_end.append(c + 1)
-            node_of_base.append(graph.ref_node_at(c))
+        nonlocal length
+        if hi <= lo:
+            return
+        seq_parts.append(graph.seq[lo:hi])
+        coords = np.arange(lo, hi, dtype=np.int64)
+        begin_parts.append(coords)
+        end_parts.append(coords + 1)
+        node_parts.append(ref_nodes[lo:hi].astype(np.int32, copy=False))
+        length += hi - lo
 
     # left flank (pure reference by cluster separation)
     emit_ref(flank_l, cluster[0].ref_start)
@@ -249,7 +258,7 @@ def _build_cluster_run(
         # intra-cluster reference gap
         emit_ref(cursor, site.ref_start)
         allele = site.alleles[a_idx]
-        a_start = len(seq_parts)  # path offset of the allele region
+        a_start = length  # path offset of the allele region
         if allele == "":
             # zero-length region: determined by windows crossing the
             # junction at path offset a_start
@@ -259,17 +268,20 @@ def _build_cluster_run(
         else:
             nid = site.allele_nodes[a_idx]
             alen = len(allele)
-            for o in range(alen):
-                seq_parts.append(allele[o])
-                pos_begin.append(
-                    min(site.ref_start + o, site.ref_end)
-                )
-                pos_end.append(
-                    site.ref_end
-                    if o + 1 == alen
-                    else min(site.ref_start + o + 1, site.ref_end)
-                )
-                node_of_base.append(nid)
+            seq_parts.append(allele)
+            ob = np.minimum(
+                site.ref_start + np.arange(alen, dtype=np.int64),
+                site.ref_end,
+            )
+            oe = np.minimum(
+                site.ref_start + np.arange(1, alen + 1, dtype=np.int64),
+                site.ref_end,
+            )
+            oe[-1] = site.ref_end
+            begin_parts.append(ob)
+            end_parts.append(oe)
+            node_parts.append(np.full(alen, nid, dtype=np.int32))
+            length += alen
             site_info.append(
                 (site.site_id, a_idx, a_start - k + 1, a_start + alen - 1)
             )
@@ -277,12 +289,15 @@ def _build_cluster_run(
     # right flank
     emit_ref(cursor, flank_r)
 
-    L = len(seq_parts)
+    L = length
     if L < k:
         return None
     n_off = L - k + 1
-    pos_begin_a = np.array(pos_begin, dtype=np.int64)
-    pos_end_a = np.array(pos_end, dtype=np.int64)
+    pos_begin_a = np.concatenate(begin_parts)
+    pos_end_a = np.concatenate(
+        [np.array([flank_l], dtype=np.int64)] + end_parts
+    )
+    node_of_base = np.concatenate(node_parts)
     offs = np.arange(n_off)
     # (b) canonical-assignment dedup + (a) determines >= 1 site
     any_det = np.zeros(n_off, dtype=bool)
@@ -303,11 +318,27 @@ def _build_cluster_run(
         valid=valid,
         pos_begin=pos_begin_a,
         pos_end=pos_end_a,
-        node_of_base=np.array(node_of_base, dtype=np.int32),
+        node_of_base=node_of_base,
         site_info=site_info,
         region_start=region_start,
         region_end=region_end,
     )
+
+
+def _ref_node_array(graph: SiteGraph) -> np.ndarray:
+    """Whole-chromosome reference-path node id per base (cached on the
+    graph): the segment/ref-allele sweep of the backbone builder, built
+    once instead of a binary search per emitted flank base."""
+    arr = getattr(graph, "_ref_node_arr", None)
+    if arr is None:
+        arr = np.zeros(graph.length, dtype=np.int32)
+        for s, e, nid in graph.segments:
+            arr[s:e] = nid
+        for site in graph.sites:
+            if site.ref_end > site.ref_start and site.allele_nodes[0]:
+                arr[site.ref_start : site.ref_end] = site.allele_nodes[0]
+        graph._ref_node_arr = arr
+    return arr
 
 
 def _build_backbone_run(
@@ -399,7 +430,13 @@ def _fallback_cluster_windows(
     k: int,
 ):
     """Exact per-window enumeration of one over-dense cluster (every
-    window determining >= 1 of its sites), as single-window Runs."""
+    window determining >= 1 of its sites), as single-window Runs.
+
+    SPEC/reference path: production takes :func:`dense_cluster_runs`
+    (anchored short combination runs, differentially pinned to this
+    enumeration by ``tests/test_dense_cluster_fallback.py``); this stays
+    as the oracle and as the per-anchor escape hatch for ultra-dense
+    spots."""
     from grafimo_tpu.graph.enumerate import enumerate_region_windows
 
     d = sum(_site_deletable(s) for s in cluster)
@@ -412,6 +449,186 @@ def _fallback_cluster_windows(
         if w.begin < region_start or w.end > region_end:
             continue
         yield window_as_run(w, k)
+
+
+# per-anchor candidate cap for dense_cluster_runs: an anchor whose
+# window-sharing combinations exceed this takes the exact per-window
+# fallback for its own rows only (ultra-dense spots degrade locally)
+DENSE_ANCHOR_COMBOS = 1 << 12
+
+
+def _anchored_combos(sub: Sequence[Site], k: int) -> List[List[int]]:
+    """All allele combinations over ``sub`` whose support (non-ref
+    sites) shares one window AND includes site 0 — the interval-pruned
+    DFS of :func:`candidate_combos` rooted at a forced non-ref anchor.
+    Raises OverflowError past ``DENSE_ANCHOR_COMBOS``."""
+    n = len(sub)
+    flank_l = max(0, sub[0].ref_start - (k - 1))
+    base = [0] * n
+    rd = 0
+    for i, s in enumerate(sub):
+        base[i] = s.ref_start - flank_l + rd
+        rd += len(s.alleles[0]) - (s.ref_end - s.ref_start)
+    out: List[List[int]] = []
+
+    def extend(start_i, ilo, ihi, delta, combo):
+        for i in range(start_i, n):
+            s = sub[i]
+            lo = base[i] + delta - k + 1
+            if lo > ihi:
+                break  # later sites start even further right
+            span_d = base[i] + delta
+            for a in range(1, len(s.alleles)):
+                alen = len(s.alleles[a])
+                hi = span_d - 1 if alen == 0 else span_d + alen - 1
+                nlo = max(ilo, lo)
+                nhi = min(ihi, hi)
+                if nlo > nhi:
+                    continue
+                combo[i] = a
+                out.append(list(combo))
+                if len(out) > DENSE_ANCHOR_COMBOS:
+                    raise OverflowError(
+                        f"anchor exceeds {DENSE_ANCHOR_COMBOS} "
+                        "window-sharing combinations"
+                    )
+                extend(
+                    i + 1, nlo, nhi,
+                    delta + alen - len(s.alleles[0]), combo,
+                )
+                combo[i] = 0
+
+    s0 = sub[0]
+    for a in range(1, len(s0.alleles)):
+        alen = len(s0.alleles[a])
+        hi0 = base[0] - 1 if alen == 0 else base[0] + alen - 1
+        lo0 = base[0] - k + 1
+        combo = [0] * n
+        combo[0] = a
+        out.append(list(combo))
+        extend(1, lo0, hi0, alen - len(s0.alleles[0]), combo)
+    return out
+
+
+def _anchor_window_fallback(
+    graph: SiteGraph,
+    cluster: Sequence[Site],
+    i: int,
+    j: int,
+    region_start: int,
+    region_end: int,
+    k: int,
+):
+    """Exact per-window rows of ONE anchor of an over-dense cluster:
+    windows whose leftmost non-ref determined site is ``cluster[i]``."""
+    from grafimo_tpu.graph.enumerate import enumerate_region_windows
+
+    d = sum(_site_deletable(s) for s in cluster[i : j + 1])
+    lo = max(region_start, cluster[i].ref_start - (k - 1) - d)
+    hi = min(region_end, cluster[j].ref_end + k - 1 + d)
+    order = {s.site_id: idx for idx, s in enumerate(cluster)}
+    for w in enumerate_region_windows(graph, lo, hi, k):
+        nonref = [
+            order[sid]
+            for sid, a in w.choices
+            if a != 0 and sid in order
+        ]
+        if not nonref or min(nonref) != i:
+            continue
+        if w.begin < region_start or w.end > region_end:
+            continue
+        yield window_as_run(w, k)
+
+
+def dense_cluster_runs(
+    graph: SiteGraph,
+    cluster: Sequence[Site],
+    region_start: int,
+    region_end: int,
+    k: int,
+):
+    """Run-compressed handling of an over-dense cluster (the
+    combination cap of :func:`candidate_combos` tripped — MHC-class
+    variant density chains thousands of sites into one cluster, whose
+    whole-cluster combination runs would each span the entire chain).
+
+    Anchored decomposition: every window row whose support (the set of
+    sites it determines non-ref) is non-empty belongs to the anchor
+    ``i = min(support)``.  Per anchor, the window-sharing combination
+    DFS runs over only the sites reachable from ``i`` within one
+    window (``sub``), with site ``i`` forced non-ref — and each
+    combination builds a SHORT run through the standard
+    :func:`_build_cluster_run` machinery, whose exact-support validity
+    intervals make row ownership unique (a row with support S is valid
+    only in anchor ``min(S)``'s combo with exactly S non-ref).  Cost is
+    proportional to the contributing rows instead of the per-window
+    path enumeration of :func:`_fallback_cluster_windows` (the previous
+    fallback, now the differential oracle): a 1/10 bp 100 kb MHC-like
+    pocket builds in seconds instead of tens of minutes.  Anchors whose
+    own combination count exceeds ``DENSE_ANCHOR_COMBOS`` take the
+    exact per-window oracle for their rows only.
+    """
+    n = len(cluster)
+    del_pref = [0]
+    for s in cluster:
+        del_pref.append(del_pref[-1] + _site_deletable(s))
+    for i in range(n):
+        # rightward reach: sites that can share a window with site i
+        j = i
+        while j + 1 < n:
+            nx = cluster[j + 1]
+            slack = del_pref[j + 1] - del_pref[i]
+            if nx.ref_start - cluster[i].ref_end < k + slack:
+                j += 1
+            else:
+                break
+        # left CONTEXT: earlier sites a window determining site i can
+        # still overlap (at ref) — included in the sub-run so that
+        # site_info carries their (ref) determinations (the haplotype-
+        # frequency contract counts every determined site, ref or not)
+        l = i
+        while l > 0 and cluster[l - 1].ref_end > (
+            cluster[i].ref_start - k + 1
+        ):
+            l -= 1
+        ctx = i - l
+        sub_full = list(cluster[l : j + 1])
+
+        # all-ref rows anchored here: windows determining site i (at
+        # ref) and NO earlier site — combo 0's rows in the
+        # whole-cluster scheme, partitioned by leftmost determined site
+        r0 = _build_cluster_run(
+            graph, sub_full, [0] * len(sub_full), region_start,
+            region_end, k,
+        )
+        if r0 is not None:
+            n_off = len(r0.valid)
+            offs = np.arange(n_off)
+            _sid, _a, lo_i, hi_i = r0.site_info[ctx]
+            own = (offs >= max(lo_i, 0)) & (offs <= min(hi_i, n_off - 1))
+            for (_s2, _a2, lo_e, hi_e) in r0.site_info[:ctx]:
+                own &= ~(
+                    (offs >= max(lo_e, 0))
+                    & (offs <= min(hi_e, n_off - 1))
+                )
+            r0.valid = r0.valid & own
+            if r0.valid.any():
+                yield r0
+
+        try:
+            combos = _anchored_combos(cluster[i : j + 1], k)
+        except OverflowError:
+            yield from _anchor_window_fallback(
+                graph, cluster, i, j, region_start, region_end, k
+            )
+            continue
+        for combo in combos:
+            r = _build_cluster_run(
+                graph, sub_full, [0] * ctx + combo, region_start,
+                region_end, k,
+            )
+            if r is not None:
+                yield r
 
 
 def region_runs(
@@ -435,7 +652,7 @@ def region_runs(
                     r.ref = (c_idx, x_idx)
                     runs.append(r)
         except OverflowError:
-            for r in _fallback_cluster_windows(
+            for r in dense_cluster_runs(
                 graph, cluster, region_start, region_end, k
             ):
                 r.ref = (-2, n_fallback)

@@ -101,20 +101,27 @@ class SiteGraph:
 
     # -- serialisation -----------------------------------------------------
     def save(self, path: str) -> None:
-        meta = {
-            "chrom": self.chrom,
-            "sites": [
-                {
-                    "s": s.ref_start,
-                    "e": s.ref_end,
-                    "a": s.alleles,
-                    "n": s.allele_nodes,
-                }
-                for s in self.sites
-            ],
-            "segments": self.segments,
-            "elements": self.elements,
-        }
+        # v2 layout: site/element/segment tables as flat arrays — JSON
+        # per-site dicts made chromosome-scale loads (1.7M sites) take
+        # ~100 s of json + object churn; the array form loads in seconds
+        meta = {"chrom": self.chrom, "format": 2}
+        n_alleles = np.array(
+            [len(s.alleles) for s in self.sites], dtype=np.int32
+        )
+        allele_strs: List[str] = []
+        allele_nodes: List[int] = []
+        for s in self.sites:
+            allele_strs.extend(s.alleles)
+            allele_nodes.extend(s.allele_nodes)
+        bounds = np.zeros(len(allele_strs) + 1, dtype=np.int64)
+        np.cumsum([len(a) for a in allele_strs], out=bounds[1:])
+        el_kind = np.array(
+            [0 if kind == "seg" else 1 for kind, _ in self.elements],
+            dtype=np.uint8,
+        )
+        el_id = np.array(
+            [i for _, i in self.elements], dtype=np.int64
+        )
         arrays = {
             "meta": np.frombuffer(
                 json.dumps(meta).encode("utf-8"), dtype=np.uint8
@@ -126,6 +133,23 @@ class SiteGraph:
             "node_seqs": np.frombuffer(
                 "\n".join(self.node_seqs).encode("ascii"), dtype=np.uint8
             ),
+            "site_start": np.array(
+                [s.ref_start for s in self.sites], dtype=np.int64
+            ),
+            "site_end": np.array(
+                [s.ref_end for s in self.sites], dtype=np.int64
+            ),
+            "site_n_alleles": n_alleles,
+            "allele_blob": np.frombuffer(
+                "".join(allele_strs).encode("ascii"), dtype=np.uint8
+            ),
+            "allele_bounds": bounds,
+            "allele_nodes": np.array(allele_nodes, dtype=np.int64),
+            "segments_tab": np.array(
+                self.segments, dtype=np.int64
+            ).reshape(len(self.segments), 3),
+            "el_kind": el_kind,
+            "el_id": el_id,
         }
         if self.haplo is not None:
             arrays.update(self.haplo.to_arrays())
@@ -134,11 +158,70 @@ class SiteGraph:
     @staticmethod
     def load(path: str) -> "SiteGraph":
         with np.load(path) as data:
+            # numpy's NpzFile streams each member through zipfile in
+            # 256KB chunks (~30 MB/s on the GB-scale haplotype bitsets
+            # of a chromosome graph); reading the member wholesale and
+            # parsing from memory is ~10x faster
+            orig = data
+            zf = getattr(data, "zip", None)
+
+            class _Fast:
+                def __getitem__(self, name):
+                    if zf is not None:
+                        import io as _io
+
+                        raw = zf.read(name + ".npy")
+                        return np.lib.format.read_array(
+                            _io.BytesIO(raw), allow_pickle=False
+                        )
+                    return orig[name]
+
+                def __contains__(self, name):
+                    return name in orig
+
+            data = _Fast()
             meta = json.loads(bytes(data["meta"]).decode("utf-8"))
-            sites = [
-                Site(i, d["s"], d["e"], d["a"], d["n"])
-                for i, d in enumerate(meta["sites"])
-            ]
+            if meta.get("format", 1) >= 2:
+                blob = bytes(data["allele_blob"]).decode("ascii")
+                bounds = data["allele_bounds"].tolist()
+                n_all = data["site_n_alleles"]
+                nodes_list = data["allele_nodes"].tolist()
+                s_start = data["site_start"].tolist()
+                s_end = data["site_end"].tolist()
+                a0 = np.zeros(len(n_all) + 1, dtype=np.int64)
+                np.cumsum(n_all, out=a0[1:])
+                a0 = a0.tolist()
+                alleles_all = [
+                    blob[bounds[j] : bounds[j + 1]]
+                    for j in range(len(bounds) - 1)
+                ]
+                sites = [
+                    Site(
+                        i,
+                        s_start[i],
+                        s_end[i],
+                        alleles_all[a0[i] : a0[i + 1]],
+                        nodes_list[a0[i] : a0[i + 1]],
+                    )
+                    for i in range(len(n_all))
+                ]
+                segments = [
+                    (int(a), int(b), int(c))
+                    for a, b, c in data["segments_tab"]
+                ]
+                kinds = data["el_kind"]
+                eids = data["el_id"]
+                elements = [
+                    ("seg" if kinds[i] == 0 else "site", int(eids[i]))
+                    for i in range(len(kinds))
+                ]
+            else:  # v1: JSON meta (older .gvt files)
+                sites = [
+                    Site(i, d["s"], d["e"], d["a"], d["n"])
+                    for i, d in enumerate(meta["sites"])
+                ]
+                segments = [tuple(s) for s in meta["segments"]]
+                elements = [tuple(e) for e in meta["elements"]]
             haplo = (
                 HaploIndex.from_arrays(data) if "hap_n" in data else None
             )
@@ -150,9 +233,9 @@ class SiteGraph:
                 node_ref_end=data["node_ref_end"],
                 node_is_ref=data["node_is_ref"],
                 node_seqs=bytes(data["node_seqs"]).decode("ascii").split("\n"),
-                segments=[tuple(s) for s in meta["segments"]],
+                segments=segments,
                 haplo=haplo,
-                elements=[tuple(e) for e in meta["elements"]],
+                elements=elements,
             )
 
 

@@ -25,8 +25,8 @@ import pandas as pd
 
 from grafimo_tpu.graph.runs import (
     Run,
-    _fallback_cluster_windows,
     build_single_run,
+    dense_cluster_runs,
     cluster_sites,
     nth_combination,
     reconstruct_hits_batch,
@@ -362,10 +362,11 @@ def batch_runs(
                     n_threads=threads,
                     bucket_slots=bucket_slots,
                 )
-                # over-dense clusters (candidate-combination cap): exact
-                # per-window python fallback for THOSE clusters only; the
-                # region's other runs are already in the native buckets.
-                # Fallback payloads ride a shim RegionRuns sharing the
+                # over-dense clusters (candidate-combination cap):
+                # anchored short combination runs for THOSE clusters
+                # only (graph/runs.dense_cluster_runs); the region's
+                # other runs are already in the native buckets.  Dense
+                # payloads ride a shim RegionRuns sharing the
                 # original's key and run cache so hit reconstruction
                 # resolves (-2, i) refs through the same region.
                 n_fb: Dict[int, int] = {}
@@ -377,7 +378,7 @@ def batch_runs(
                             rr.graph, rr.start, rr.stop, k
                         )
                     fb_payloads = []
-                    for run in _fallback_cluster_windows(
+                    for run in dense_cluster_runs(
                         rr.graph, clusters_of[ri][ci], rr.start, rr.stop, k
                     ):
                         run.ref = (-2, n_fb.setdefault(ri, 0))

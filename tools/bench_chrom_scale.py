@@ -75,8 +75,13 @@ def make_variants(rng, seq, pos, H):
         p = int(p)
         if p < last:
             continue
-        af = float(afs[i])
-        n_car = min(H, max(1, int(round(af * H))))
+        # 1KGP-like site frequency spectrum: ~55% singleton/very-rare
+        # (2504-sample 1KGP has ~64% MAF<0.5%), the rest beta-skewed
+        if rng.random() < 0.55:
+            n_car = int(rng.geometric(0.5))  # 1, 2, 3... halving
+        else:
+            af = float(afs[i])
+            n_car = min(H, max(1, int(round(af * H))))
         if n_car < H // 8:
             # rare variant: sample with replacement + dedup (collision
             # odds tiny; avoids numpy choice's O(H) permutation)
@@ -201,6 +206,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bed-span", type=int, default=0,
                     help="scan only the first N bases (0 = whole chrom)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse existing workdir inputs/graphs")
+    ap.add_argument("--encode-regions", type=int, default=0,
+                    help="also scan N random 270bp regions (the "
+                         "reference's ENCODE-peak workload shape)")
     args = ap.parse_args()
 
     H = 5096
@@ -213,35 +223,41 @@ def main():
 
     # --- synth + write inputs -------------------------------------------
     L = int(args.mbp * 1e6)
-    t0 = time.perf_counter()
-    seq, pos, pockets = synth_chrom(rng, L, H)
-    variants, n_indel = make_variants(rng, seq, pos, H)
-    out["n_variants"] = len(variants)
-    out["n_indels"] = n_indel
-    out["dense_pockets"] = len(pockets)
-    write_fasta(os.path.join(wd, "ref.fa"), "21", seq)
-    write_vcf(os.path.join(wd, "synth.vcf.gz"), "21", seq, variants, H)
-    out["synth_s"] = round(time.perf_counter() - t0, 1)
-    out["vcf_bytes"] = os.path.getsize(os.path.join(wd, "synth.vcf.gz"))
-    print(
-        f"# synth: {len(variants)} variants ({n_indel} indels) "
-        f"in {out['synth_s']}s, VCF {out['vcf_bytes']/2**20:.0f} MiB",
-        file=sys.stderr,
-    )
-
-    # --- buildvg (CPU backend; native VCF scanner + graph build) --------
     gdir = os.path.join(wd, "graphs")
-    dt, rss, _ = run_cli(
-        ["buildvg", "-l", os.path.join(wd, "ref.fa"),
-         "-v", os.path.join(wd, "synth.vcf.gz"), "-o", gdir,
-         "--reindex", "--verbose"],
-        backend="cpu",
-    )
-    out["buildvg_s"] = round(dt, 1)
-    out["buildvg_maxrss_gb"] = round((rss or 0) / 2**20, 2)
-    out["gvt_bytes"] = os.path.getsize(os.path.join(gdir, "21.gvt.npz"))
-    print(f"# buildvg: {dt:.0f}s, peak RSS "
-          f"{out['buildvg_maxrss_gb']} GB", file=sys.stderr)
+    if args.reuse and os.path.isfile(os.path.join(gdir, "21.gvt.npz")):
+        out["reused"] = True
+    else:
+        t0 = time.perf_counter()
+        seq, pos, pockets = synth_chrom(rng, L, H)
+        variants, n_indel = make_variants(rng, seq, pos, H)
+        out["n_variants"] = len(variants)
+        out["n_indels"] = n_indel
+        out["dense_pockets"] = len(pockets)
+        write_fasta(os.path.join(wd, "ref.fa"), "21", seq)
+        write_vcf(os.path.join(wd, "synth.vcf.gz"), "21", seq, variants,
+                  H)
+        out["synth_s"] = round(time.perf_counter() - t0, 1)
+        out["vcf_bytes"] = os.path.getsize(
+            os.path.join(wd, "synth.vcf.gz"))
+        print(
+            f"# synth: {len(variants)} variants ({n_indel} indels) "
+            f"in {out['synth_s']}s, VCF {out['vcf_bytes']/2**20:.0f} "
+            f"MiB",
+            file=sys.stderr,
+        )
+        # buildvg (CPU backend; native VCF scanner + graph build)
+        dt, rss, _ = run_cli(
+            ["buildvg", "-l", os.path.join(wd, "ref.fa"),
+             "-v", os.path.join(wd, "synth.vcf.gz"), "-o", gdir,
+             "--reindex", "--verbose"],
+            backend="cpu",
+        )
+        out["buildvg_s"] = round(dt, 1)
+        out["buildvg_maxrss_gb"] = round((rss or 0) / 2**20, 2)
+        out["gvt_bytes"] = os.path.getsize(
+            os.path.join(gdir, "21.gvt.npz"))
+        print(f"# buildvg: {dt:.0f}s, peak RSS "
+              f"{out['buildvg_maxrss_gb']} GB", file=sys.stderr)
 
     # --- whole-chromosome findmotif (TPU) -------------------------------
     bed = os.path.join(wd, "whole.bed")
@@ -272,6 +288,34 @@ def main():
     out["scan"] = runs
     out["deterministic"] = runs[0]["hits"] == runs[1]["hits"]
     assert out["deterministic"], "hit counts differ across reruns!"
+
+    # --- ENCODE-peak-shaped region scan (the reference's headline
+    # workload: CTCF x 3000 ChIP-seq peak regions, ~270 bp each) --------
+    if args.encode_regions:
+        ebed = os.path.join(wd, "encode_like.bed")
+        r3 = np.random.default_rng(7)
+        starts = np.sort(r3.integers(0, L - 300, args.encode_regions))
+        with open(ebed, "w") as f:
+            for s0 in starts:
+                f.write(f"chr21\t{int(s0)}\t{int(s0) + 270}\n")
+        dt, rss, err = run_cli(
+            ["findmotif", "-d", gdir, "-b", ebed, "-m", motif,
+             "-o", os.path.join(wd, "out_encode"), "--verbose"],
+            backend=backend,
+        )
+        n_hits = sum(1 for _ in open(
+            os.path.join(wd, "out_encode", "grafimo_out.tsv"))) - 1
+        windows = None
+        for ln in err.splitlines():
+            if "Scanned sequences" in ln:
+                windows = int(ln.split()[-1])
+        out["encode_scan"] = {
+            "regions": args.encode_regions, "wall_s": round(dt, 1),
+            "hits": n_hits, "windows": windows,
+            "maxrss_gb": round((rss or 0) / 2**20, 2),
+        }
+        print(f"# encode-like scan: {dt:.0f}s, {n_hits} hits, "
+              f"{windows} windows", file=sys.stderr)
 
     # --- directory scan with globally merged q-values -------------------
     if args.dir:

@@ -151,6 +151,17 @@ def main() -> None:
     for mo in motifs:
         by_width.setdefault(mo.width, []).append(mo)
 
+    # overlap later widths' kernel compiles with earlier widths' work
+    # (workflows.findmotif does the same; A-B via GRAFIMO_PRECOMPILE)
+    from grafimo_tpu.runscan import precompile_width_kernels
+
+    precompile_width_kernels(
+        {k: by_width[k] for k in sorted(by_width)}, [graph],
+        elems_hint=float(L) * 2.0
+        * max(len(v) for v in by_width.values()),
+        verbose=True,
+    )
+
     total_hits = 0
     total_wsm = 0  # window-strand-motif scorings
     per_width = {}
