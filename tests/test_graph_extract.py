@@ -97,3 +97,50 @@ def test_graph_roundtrip(toy_graph, tmp_path):
     assert b1.seqs == b2.seqs
     assert (b1.freqs == b2.freqs).all()
     assert b1.paths == b2.paths
+
+
+def test_gvt_v1_format_still_loads(toy_graph, tmp_path):
+    """Round-3 .gvt files (JSON site metadata) keep loading after the
+    v2 flat-array serialization."""
+    import json
+
+    import numpy as np
+
+    from grafimo_tpu.graph.sitegraph import SiteGraph
+
+    g = toy_graph
+    meta = {
+        "chrom": g.chrom,
+        "sites": [
+            {"s": s.ref_start, "e": s.ref_end, "a": s.alleles,
+             "n": s.allele_nodes}
+            for s in g.sites
+        ],
+        "segments": g.segments,
+        "elements": g.elements,
+    }
+    arrays = {
+        "meta": np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        ),
+        "seq": np.frombuffer(g.seq.encode("ascii"), dtype=np.uint8),
+        "node_ref_start": g.node_ref_start,
+        "node_ref_end": g.node_ref_end,
+        "node_is_ref": g.node_is_ref,
+        "node_seqs": np.frombuffer(
+            "\n".join(g.node_seqs).encode("ascii"), dtype=np.uint8
+        ),
+    }
+    if g.haplo is not None:
+        arrays.update(g.haplo.to_arrays())
+    path = tmp_path / "v1.gvt.npz"
+    np.savez_compressed(path, **arrays)
+    g2 = SiteGraph.load(str(path))
+    assert g2.seq == g.seq
+    assert len(g2.sites) == len(g.sites)
+    assert [s.alleles for s in g2.sites] == [s.alleles for s in g.sites]
+    assert g2.elements == g.elements
+    assert (g2.haplo is None) == (g.haplo is None)
+    if g.haplo is not None:
+        assert g2.haplo.n_hap == g.haplo.n_hap
+        assert (g2.haplo.alt_bits == g.haplo.alt_bits).all()
