@@ -336,11 +336,39 @@ def _scan_cache_path(workflow: Findmotif, regions, width: int) -> str:
     )
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Point jax at an on-disk compilation cache so repeat scans skip
+    XLA recompiles (through this environment's TPU tunnel a cold
+    compile costs minutes of wall; the cache is also what makes the
+    second CLI invocation of the same width warm).  ``GRAFIMO_JAX_CACHE``
+    overrides the location; ``GRAFIMO_JAX_CACHE=0`` disables.  Best
+    effort — failures never block the scan."""
+    loc = os.environ.get("GRAFIMO_JAX_CACHE", "")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "grafimo_tpu",
+            "jax_cache",
+        )
+    try:
+        import jax
+
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+    except Exception:
+        pass
+
+
 def findmotif(workflow: Findmotif) -> List[str]:
     """Scan the variation graph(s) for motif occurrences
     (reference ``findmotif``, ``grafimo.py:80-192``); returns the written
     report directories (empty for ``--text-only``)."""
     workflow.validate()
+    _enable_persistent_compile_cache()
     # multi-host pod slice: initialise jax.distributed BEFORE any backend
     # touch (the mesh must span all hosts' devices); single-host runs
     # skip this entirely (SURVEY.md §2.18/§5.8)

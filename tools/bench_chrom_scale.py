@@ -279,9 +279,12 @@ def main():
         for ln in err.splitlines():
             if "Scanned sequences" in ln:
                 windows = int(ln.split()[-1])
+        wire = [ln.strip() for ln in err.splitlines()
+                if ln.strip().startswith("wire:")]
         runs.append({"wall_s": round(dt, 1), "hits": n_hits,
                      "windows": windows,
-                     "maxrss_gb": round((rss or 0) / 2**20, 2)})
+                     "maxrss_gb": round((rss or 0) / 2**20, 2),
+                     "wire": wire[:4]})
         print(f"# findmotif rep{rep}: {dt:.0f}s, {n_hits} hits, "
               f"{windows} windows, RSS {runs[-1]['maxrss_gb']} GB",
               file=sys.stderr)
@@ -323,7 +326,9 @@ def main():
         names = []
         for i in range(args.dir):
             Ld = int(args.dir_mbp * 1e6)
-            sq, ps, _ = synth_chrom(rng, Ld, H, pockets=1)
+            # pocket-free: the main chromosome exercises the MHC-like
+            # pockets; the directory leg measures multi-graph merge
+            sq, ps, _ = synth_chrom(rng, Ld, H, pockets=0)
             vs, _ni = make_variants(rng, sq, ps, H)
             nm = f"d{i+1}"
             write_fasta(os.path.join(wd, f"{nm}.fa"), nm, sq)
