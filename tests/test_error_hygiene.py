@@ -128,3 +128,26 @@ def test_motif_pool_restores_sigint_handler(monkeypatch):
     out = parse.process_motifs(list(range(64)))
     assert out == list(range(64))
     assert signal.getsignal(signal.SIGINT) is before
+
+
+def test_persistent_compile_cache_env_gate(monkeypatch, tmp_path):
+    """findmotif points jax at an on-disk compile cache; the
+    ``GRAFIMO_JAX_CACHE`` env var relocates it and ``0`` disables it."""
+    import jax
+
+    from grafimo_tpu.workflows import _enable_persistent_compile_cache
+
+    loc = tmp_path / "cc"
+    monkeypatch.setenv("GRAFIMO_JAX_CACHE", str(loc))
+    _enable_persistent_compile_cache()
+    assert loc.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(loc)
+    # disabled: directory untouched, config unchanged
+    other = tmp_path / "off"
+    monkeypatch.setenv("GRAFIMO_JAX_CACHE", "0")
+    monkeypatch.setattr(
+        jax.config, "update",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("called")),
+    )
+    _enable_persistent_compile_cache()
+    assert not other.exists()
