@@ -75,6 +75,25 @@ SCAN_FLUSH_SLICES = 1024
 # bases => ~130MB one-hot + ~260MB scores at m=4 — comfortably inside
 # one chip's HBM, and fewer dispatch round trips through slow links)
 MAX_BASES_PER_DISPATCH = 1 << 24
+# XLA:CPU materialises the exact histogram's (elems, n_hi+128) one-hot
+# operands in host RAM instead of streaming VMEM tiles, so the CPU debug
+# backend would burn tens of GB at the TPU slice size on a
+# whole-chromosome scan; cap it 32x lower there (slicing is
+# result-invariant — test_runscan.py pins exactness at budget=64)
+MAX_BASES_PER_DISPATCH_CPU = 1 << 19
+
+
+def _dispatch_cap() -> int:
+    """Backend-dependent ``MAX_BASES_PER_DISPATCH`` (module constants
+    stay monkeypatchable for the slicing-invariance tests)."""
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return min(MAX_BASES_PER_DISPATCH, MAX_BASES_PER_DISPATCH_CPU)
+    except Exception:
+        pass
+    return MAX_BASES_PER_DISPATCH
 _SEQ_LUT = np.full(256, 0, dtype=np.uint8)
 for _i, _c in enumerate("ACGT"):
     _SEQ_LUT[ord(_c)] = _i
@@ -1254,7 +1273,7 @@ def scan_batches(
     total_slices = 0
     for _b in batches:
         _rows_per = max(
-            1, (MAX_BASES_PER_DISPATCH // max(1, m // 4)) // _b.R
+            1, (_dispatch_cap() // max(1, m // 4)) // _b.R
         )
         _n = (
             _b.gstart.shape[0]
@@ -1337,7 +1356,7 @@ def scan_batches(
         # dominant intermediates scale with rows*R (one-hot) AND with
         # rows*noff*M (scores / hit predicates), so shrink slices as the
         # motif-column count grows
-        budget = MAX_BASES_PER_DISPATCH // max(1, m // 4)
+        budget = _dispatch_cap() // max(1, m // 4)
         rows_per = max(1, budget // batch.R)
         noff_b = batch.R - k + 1
         # expected vbits bytes for an all-valid row (tail bits zero)
