@@ -153,10 +153,23 @@ def _resident_genome(graph: SiteGraph):
     pad4 = (-len(codes)) % 4
     if pad4:
         codes = np.concatenate([codes, np.zeros(pad4, np.uint8)])
-    # margin past the chromosome end: the strided kernel's span decode
-    # (ops/score_runs._decode_span) reads up to one row length + a word
-    # beyond the last window (a few KB; reads are masked by vbits)
-    margin = np.zeros(BUCKETS[-1] // 4 + 8, np.uint8)
+    # margin past the chromosome end: the strided kernel
+    # (ops/score_runs._expand_strided) decodes b*stride + R codes from
+    # the slice's first row start — one whole extra stride past the
+    # last row's span — and the last backbone row can start as late as
+    # L - k (a remainder chunk that re-lands in the top bucket keeps
+    # the row starts uniform), so the read extends up to
+    # stride + R - k ~= 2R codes past the chromosome end, plus <= 47
+    # codes of word rounding.  The reads are vbits-masked; the slice
+    # must merely stay in bounds — an undersized margin does NOT fail
+    # loudly: jax.lax.dynamic_slice CLAMPS an out-of-range start and
+    # silently shifts the whole span (caught round 4 at 50 Mbp /
+    # k = 19: the final slice clamped 22 words and dropped tail hits;
+    # regression: tests/test_resident_scan.py strided-tail tests).
+    # Bytes here are packed codes (4/byte): R//2 + 16 bytes = 2R + 64
+    # codes; the same array appended to the 1-bit N plane gives
+    # 8x that many code-bits — both cover the bound for every k >= 1.
+    margin = np.zeros(BUCKETS[-1] // 2 + 16, np.uint8)
     codes4 = bytes_to_words(
         np.concatenate([pack_run_seqs(codes[None, :])[0], margin])
     )
@@ -816,7 +829,7 @@ def precompile_width_kernels(
             try:
                 cached = getattr(g, "_genome_dev_cache", None)
                 if cached is not None and cached[0] == devs_key:
-                    planes.append(cached[1])
+                    planes.append((*cached[1], len(g.seq)))
                     continue
                 c4, npl = _resident_genome(g)
                 put = (
@@ -824,7 +837,7 @@ def precompile_width_kernels(
                     jax.device_put(npl) if npl is not None else None,
                 )
                 g._genome_dev_cache = (devs_key, put)
-                planes.append(put)
+                planes.append((*put, len(g.seq)))
             except Exception:
                 return
         import time as _time
@@ -864,11 +877,11 @@ def precompile_width_kernels(
                     np.full(m, 10**9, np.int32)
                 )
                 R = BUCKETS[-1]
-                rows = max(
+                rows_cap = max(
                     1, (MAX_BASES_PER_DISPATCH // max(1, m // 4)) // R
                 )
                 stride = R - k + 1
-                noffb = (stride + 7) // 8
+                rows = rows_cap
                 vb = jax.device_put(
                     pack_bits(np.zeros((rows, stride), bool))
                 )
@@ -879,11 +892,21 @@ def precompile_width_kernels(
                     np.full((rows, 4), 0x7FFF, np.int16)
                 )
                 gs = jax.device_put(np.zeros(rows, np.int32))
-                for g4, gn in planes:
+                for g4, gn, g_len in planes:
+                    # the strided probe's span (rows*stride + R codes
+                    # from 0) must fit the graph's padded plane; match
+                    # the real dispatch's full-slice row count for a
+                    # whole-chromosome region of this graph
+                    noff = max(1, g_len - k + 1)
+                    full, rem = divmod(noff, stride)
+                    rows_s = full + (
+                        1 if rem and rem + k - 1 > BUCKETS[-2] else 0
+                    )
+                    rows_s = max(1, min(rows_cap, rows_s))
                     acc = jnp.zeros((comp_size, m), jnp.int32)
                     out = scan_runs_resident_strided_topk(
                         acc, g4, gn, jnp.int32(0), None, pwm_dev,
-                        mins_dev, cuts_dev, rows, stride, R, k,
+                        mins_dev, cuts_dev, rows_s, stride, R, k,
                         comp_size, SCAN_TOPK, hist_bases=bases_dev,
                     )
                     acc = jnp.zeros((comp_size, m), jnp.int32)
@@ -1465,6 +1488,19 @@ def scan_batches(
                         and 2 * stride >= batch.R
                         and (np.diff(gs) == stride).all()
                     ):
+                        # the span decode must stay inside the padded
+                        # plane: dynamic_slice would CLAMP an
+                        # out-of-range start and silently shift every
+                        # row of the slice (see _resident_genome's
+                        # margin derivation)
+                        _need = (int(gs[0]) // 16) + (
+                            len(gs) * stride + batch.R + 15
+                        ) // 16 + 1
+                        assert _need <= g4.shape[0], (
+                            f"strided span {_need} words exceeds the "
+                            f"resident plane {g4.shape[0]} — margin "
+                            "regression in _resident_genome"
+                        )
                         # GRAFIMO_ONEHOT_GENOME=1: resident one-hot
                         # genome variant — MEASURED AND REJECTED on v5e
                         # (12.6 vs 10.2 ms: the (L, 4) bf16 plane's

@@ -293,3 +293,64 @@ def test_onehot_kernel_matches_strided(compressed):
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
         np.testing.assert_array_equal(np.asarray(hb1), np.asarray(hb2))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+@pytest.mark.parametrize("max_bases", [1 << 24, 8192])
+def test_strided_tail_geometry_end_to_end(input_dir, monkeypatch,
+                                          max_bases):
+    """Whole-chromosome tail geometry: the backbone's remainder chunk can
+    re-land in the TOP bucket (chunk_len > BUCKETS[-2]), keeping the row
+    starts stride-uniform while the strided span decode
+    (ops/score_runs._expand_strided) reads up to ~2R codes past the
+    chromosome end.  With the old R+32-code plane margin,
+    jax.lax.dynamic_slice either rejected the span outright (single
+    slice: slice_sizes > operand shape) or silently CLAMPED its start on
+    a later slice — shifting every row of that slice and dropping tail
+    hits (caught round 4 on the 50 Mbp chromosome scan).  Both slicings
+    must match the packed-upload oracle exactly."""
+    from grafimo_tpu.graph.sitegraph import build_graph
+    from grafimo_tpu.models.parse import load_motifs
+    from grafimo_tpu.runscan import BUCKETS, build_region_runs
+    from grafimo_tpu.runscan import compute_results_runs
+    from grafimo_tpu.utils.constants import UNIF
+    import grafimo_tpu.runscan as rs
+
+    motifs = load_motifs(str(input_dir / "MA0139.1.meme"), UNIF, 0.1,
+                         False)
+    k = motifs[0].width
+    R = BUCKETS[-1]
+    stride = R - k + 1
+    # 5 full strides + a remainder whose chunk re-lands in the top
+    # bucket (chunk_len > BUCKETS[-2]) => 6 stride-uniform backbone rows
+    rem = BUCKETS[-2] + 52 - (k - 1)
+    L = 5 * stride + rem + k - 1
+    rng = np.random.default_rng(7)
+    seq = rng.integers(0, 4, L).astype(np.uint8)
+    seq_str = seq.tobytes().translate(
+        bytes.maketrans(bytes(range(4)), b"ACGT")
+    ).decode()
+    graph = build_graph("c", seq_str, [])
+
+    monkeypatch.setattr(rs, "MAX_BASES_PER_DISPATCH", max_bases)
+    monkeypatch.setattr(rs, "MAX_BASES_PER_DISPATCH_CPU", max_bases)
+    # the strided kernel only dispatches on the single-device path; the
+    # suite's 8-device CPU mesh would otherwise route through shard_map
+    # gather kernels and never exercise this geometry
+    monkeypatch.setenv("GRAFIMO_TPU_SINGLE_DEVICE", "1")
+
+    def run(resident):
+        orig = rs.batch_runs
+        rs.batch_runs = lambda *a, **kw: orig(
+            *a, **{**kw, "resident": resident}
+        )
+        try:
+            rrs = build_region_runs(graph, "c", [(0, L)], k)
+            return compute_results_runs(
+                motifs, rrs, threshold=1e-2
+            )["MA0139.1"]
+        finally:
+            rs.batch_runs = orig
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(run(True), run(False))
