@@ -111,9 +111,13 @@ def test_resident_batching_partition(input_dir):
             assert gs == lo + c.chunk_off
 
 
-def test_resident_scan_end_to_end(input_dir):
+@pytest.mark.parametrize("single_device", [False, True])
+def test_resident_scan_end_to_end(input_dir, monkeypatch, single_device):
     """Full compute_results_runs with residency on vs off: identical
-    reports."""
+    reports — under both the suite's 8-device shard_map dispatch and
+    the single-device path (which alone reaches the strided kernel)."""
+    if single_device:
+        monkeypatch.setenv("GRAFIMO_TPU_SINGLE_DEVICE", "1")
     from grafimo_tpu.graph.sitegraph import build_graph
     from grafimo_tpu.io.fasta import read_fasta
     from grafimo_tpu.io.vcf import iter_vcf_records
