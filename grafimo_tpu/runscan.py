@@ -92,7 +92,10 @@ def _dispatch_cap() -> int:
         if jax.default_backend() == "cpu":
             return min(MAX_BASES_PER_DISPATCH, MAX_BASES_PER_DISPATCH_CPU)
     except Exception:
-        pass
+        # cannot determine the backend (import failure, broken device
+        # init): assume the conservative CPU cap — the TPU-sized slice
+        # would burn tens of GB if XLA:CPU ends up executing it
+        return min(MAX_BASES_PER_DISPATCH, MAX_BASES_PER_DISPATCH_CPU)
     return MAX_BASES_PER_DISPATCH
 _SEQ_LUT = np.full(256, 0, dtype=np.uint8)
 for _i, _c in enumerate("ACGT"):
@@ -1007,13 +1010,27 @@ def _make_shard_kernels(mesh):
         "spliced": (
             False, False, True, True, True, True, False, False, False,
         ),
+        # strided/onehot rows are IMPLICIT — (lo, b, stride) defines
+        # them, no per-row offset array exists — so the only (possibly)
+        # row-sharded operand is vbits; the row split happens inside the
+        # body by offsetting each shard's lo and dividing the static b
+        "strided": (False, False, False, True, False, False, False),
+        "onehot": (False, False, False, True, False, False, False),
     }
     INNER = {
         "device": _sr.scan_runs_device_topk,
         "resident": _sr.scan_runs_resident_topk,
         "patched": _sr.scan_runs_resident_patched_topk,
         "spliced": _sr.scan_runs_resident_spliced_topk,
+        "strided": _sr.scan_runs_resident_strided_topk,
+        "onehot": _sr.scan_runs_resident_onehot_topk,
     }
+    # kinds whose kstat leads with (b, stride) instead of (r, k): the
+    # caller cannot pad their rows (a pad row would read genome past
+    # the resident plane's margin), so the dispatch only routes here
+    # when b divides the mesh
+    IMPLICIT_ROWS = ("strided", "onehot")
+    n_shards = int(np.prod([mesh.shape[ax] for ax in mesh.axis_names]))
 
     @functools.lru_cache(maxsize=64)
     def _build(kind, none_mask, kstat, m, noff):
@@ -1034,11 +1051,25 @@ def _make_shard_kernels(mesh):
             ]
             bases = next(it)
             zero = jnp.zeros((hist_size_, m), jnp.int32)
+            shard = jax.lax.axis_index("data").astype(jnp.int32)
+            kstat_local = kstat
+            if kind in IMPLICIT_ROWS:
+                # rows are (lo, b, stride)-implicit: each shard scans
+                # its own contiguous b/n block by offsetting lo — the
+                # caller guarantees b % n_shards == 0
+                b_tot, stride_ = kstat[0], kstat[1]
+                rows_local = b_tot // n_shards
+                full[2] = full[2] + shard * jnp.int32(
+                    rows_local * stride_
+                )
+                kstat_local = (rows_local,) + kstat[1:]
+            else:
+                rows_local = full[layout.index(True)].shape[0]
             prev = _sr.IN_SHARD_BODY
             _sr.IN_SHARD_BODY = True
             try:
                 h, hb, nh, tv = inner(
-                    zero, *full, *kstat, hist_bases=bases
+                    zero, *full, *kstat_local, hist_bases=bases
                 )
             finally:
                 _sr.IN_SHARD_BODY = prev
@@ -1046,8 +1077,6 @@ def _make_shard_kernels(mesh):
             # shift per-shard ascending flat indices (+1-coded, row
             # stride noff*m) into the global row space: shards own
             # contiguous disjoint ascending ranges
-            rows_local = full[layout.index(True)].shape[0]
-            shard = jax.lax.axis_index("data").astype(jnp.int32)
             tv = jnp.where(
                 tv > 0, tv + shard * (rows_local * noff * m), 0
             )
@@ -1087,6 +1116,8 @@ def _make_shard_kernels(mesh):
             if kind == "device":
                 r = arrays[0].shape[1] * 4  # packed (B, R/4)
                 noff = r - kstat[0] + 1
+            elif kind in IMPLICIT_ROWS:
+                noff = kstat[2] - kstat[3] + 1  # (b, stride, r, k, ...)
             else:
                 noff = kstat[0] - kstat[1] + 1  # r - k + 1
             none_mask = tuple(a is None for a in arrays)
@@ -1097,7 +1128,8 @@ def _make_shard_kernels(mesh):
         return call
 
     return {k_: wrap(k_) for k_ in
-            ("device", "resident", "patched", "spliced")}
+            ("device", "resident", "patched", "spliced",
+             "strided", "onehot")}
 
 
 def scan_batches(
@@ -1163,6 +1195,8 @@ def scan_batches(
             scan_runs_resident_topk = _sk["resident"]
             scan_runs_resident_patched_topk = _sk["patched"]
             scan_runs_resident_spliced_topk = _sk["spliced"]
+            scan_runs_resident_strided_topk = _sk["strided"]
+            scan_runs_resident_onehot_topk = _sk["onehot"]
 
     def _rep(x):
         """Replicate over the mesh (no-op single-device)."""
@@ -1482,9 +1516,20 @@ def scan_batches(
                     # chunk sequences) skip the per-row word gather —
                     # the expansion becomes one span decode + reshapes
                     stride = batch.R - k + 1
+                    # mesh eligibility: the strided kernels shard rows
+                    # by splitting b inside the shard_map body, so b
+                    # must divide the mesh and NO pad rows may exist (a
+                    # pad row would read genome past the plane margin).
+                    # pad > 0 already fails the diff check below (pad
+                    # gs entries are 0), so full slices — the vast
+                    # majority at chromosome scale — route here and
+                    # remainder slices take the gather fallback.
                     if (
-                        mesh is None
-                        and len(gs) > 1
+                        len(gs) > 1
+                        and (
+                            mesh is None
+                            or (_shardmap_on and len(gs) % n_data == 0)
+                        )
                         and 2 * stride >= batch.R
                         and (np.diff(gs) == stride).all()
                     ):
@@ -1496,11 +1541,15 @@ def scan_batches(
                         _need = (int(gs[0]) // 16) + (
                             len(gs) * stride + batch.R + 15
                         ) // 16 + 1
-                        assert _need <= g4.shape[0], (
-                            f"strided span {_need} words exceeds the "
-                            f"resident plane {g4.shape[0]} — margin "
-                            "regression in _resident_genome"
-                        )
+                        if _need > g4.shape[0]:
+                            # not an assert: under python -O the guard
+                            # would vanish and the clamped slice would
+                            # silently drop tail hits
+                            raise RuntimeError(
+                                f"strided span {_need} words exceeds "
+                                f"the resident plane {g4.shape[0]} — "
+                                "margin regression in _resident_genome"
+                            )
                         # GRAFIMO_ONEHOT_GENOME=1: resident one-hot
                         # genome variant — MEASURED AND REJECTED on v5e
                         # (12.6 vs 10.2 ms: the (L, 4) bf16 plane's

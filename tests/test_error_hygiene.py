@@ -137,17 +137,34 @@ def test_persistent_compile_cache_env_gate(monkeypatch, tmp_path):
 
     from grafimo_tpu.workflows import _enable_persistent_compile_cache
 
-    loc = tmp_path / "cc"
-    monkeypatch.setenv("GRAFIMO_JAX_CACHE", str(loc))
-    _enable_persistent_compile_cache()
-    assert loc.is_dir()
-    assert jax.config.jax_compilation_cache_dir == str(loc)
-    # disabled: directory untouched, config unchanged
-    other = tmp_path / "off"
-    monkeypatch.setenv("GRAFIMO_JAX_CACHE", "0")
-    monkeypatch.setattr(
-        jax.config, "update",
-        lambda *a, **k: (_ for _ in ()).throw(AssertionError("called")),
-    )
-    _enable_persistent_compile_cache()
-    assert not other.exists()
+    # the tmp_path cache dir is deleted after the test — restore the
+    # jax config or every later compile in the suite tries to persist
+    # into a dead directory (order-dependent pollution)
+    saved = {
+        name: getattr(jax.config, name)
+        for name in (
+            "jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+        )
+    }
+    try:
+        loc = tmp_path / "cc"
+        monkeypatch.setenv("GRAFIMO_JAX_CACHE", str(loc))
+        _enable_persistent_compile_cache()
+        assert loc.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(loc)
+        # disabled: directory untouched, config unchanged
+        other = tmp_path / "off"
+        monkeypatch.setenv("GRAFIMO_JAX_CACHE", "0")
+        monkeypatch.setattr(
+            jax.config, "update",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("called")
+            ),
+        )
+        _enable_persistent_compile_cache()
+        assert not other.exists()
+    finally:
+        monkeypatch.undo()
+        for name, val in saved.items():
+            jax.config.update(name, val)
