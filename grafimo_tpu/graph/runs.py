@@ -455,6 +455,59 @@ def _fallback_cluster_windows(
 # window-sharing combinations exceed this takes the exact per-window
 # fallback for its own rows only (ultra-dense spots degrade locally)
 DENSE_ANCHOR_COMBOS = 1 << 12
+# native dense-row ref encoding (graphite.cpp dense_cluster_runs_native;
+# constants MUST stay equal): ref = (-3 - cluster_idx, anchor *
+# DENSE_COMBO_STRIDE + ordinal) with ordinal 0 the anchor's ownership-
+# filtered all-ref row and 1 + x the x-th _anchored_combos entry —
+# build_single_run decodes it for lazy hit reconstruction
+DENSE_COMBO_STRIDE = DENSE_ANCHOR_COMBOS + 2
+
+
+def _anchor_bounds(
+    cluster: Sequence[Site], del_pref: Sequence[int], i: int, k: int
+) -> Tuple[int, int]:
+    """Anchor geometry of :func:`dense_cluster_runs`: ``(l, j)`` = left-
+    context start and rightward window-sharing reach of anchor ``i``
+    (``del_pref``: prefix sums of :func:`_site_deletable`)."""
+    n = len(cluster)
+    j = i
+    while j + 1 < n:
+        nx = cluster[j + 1]
+        slack = del_pref[j + 1] - del_pref[i]
+        if nx.ref_start - cluster[i].ref_end < k + slack:
+            j += 1
+        else:
+            break
+    l = i
+    while l > 0 and cluster[l - 1].ref_end > (
+        cluster[i].ref_start - k + 1
+    ):
+        l -= 1
+    return l, j
+
+
+def _del_prefix(cluster: Sequence[Site]) -> List[int]:
+    del_pref = [0]
+    for s in cluster:
+        del_pref.append(del_pref[-1] + _site_deletable(s))
+    return del_pref
+
+
+def _apply_anchor_ownership(r0: Run, ctx: int) -> bool:
+    """Restrict an anchor's all-ref row to the windows it OWNS: windows
+    determined by the anchor site (``site_info[ctx]``) and by no earlier
+    cluster site.  Returns whether any window survives."""
+    n_off = len(r0.valid)
+    offs = np.arange(n_off)
+    _sid, _a, lo_i, hi_i = r0.site_info[ctx]
+    own = (offs >= max(lo_i, 0)) & (offs <= min(hi_i, n_off - 1))
+    for (_s2, _a2, lo_e, hi_e) in r0.site_info[:ctx]:
+        own &= ~(
+            (offs >= max(lo_e, 0))
+            & (offs <= min(hi_e, n_off - 1))
+        )
+    r0.valid = r0.valid & own
+    return bool(r0.valid.any())
 
 
 def _anchored_combos(sub: Sequence[Site], k: int) -> List[List[int]]:
@@ -569,28 +622,14 @@ def dense_cluster_runs(
     exact per-window oracle for their rows only.
     """
     n = len(cluster)
-    del_pref = [0]
-    for s in cluster:
-        del_pref.append(del_pref[-1] + _site_deletable(s))
+    del_pref = _del_prefix(cluster)
     for i in range(n):
-        # rightward reach: sites that can share a window with site i
-        j = i
-        while j + 1 < n:
-            nx = cluster[j + 1]
-            slack = del_pref[j + 1] - del_pref[i]
-            if nx.ref_start - cluster[i].ref_end < k + slack:
-                j += 1
-            else:
-                break
-        # left CONTEXT: earlier sites a window determining site i can
-        # still overlap (at ref) — included in the sub-run so that
-        # site_info carries their (ref) determinations (the haplotype-
-        # frequency contract counts every determined site, ref or not)
-        l = i
-        while l > 0 and cluster[l - 1].ref_end > (
-            cluster[i].ref_start - k + 1
-        ):
-            l -= 1
+        # rightward reach + left CONTEXT: earlier sites a window
+        # determining site i can still overlap (at ref) — included in
+        # the sub-run so that site_info carries their (ref)
+        # determinations (the haplotype-frequency contract counts every
+        # determined site, ref or not)
+        l, j = _anchor_bounds(cluster, del_pref, i, k)
         ctx = i - l
         sub_full = list(cluster[l : j + 1])
 
@@ -601,19 +640,8 @@ def dense_cluster_runs(
             graph, sub_full, [0] * len(sub_full), region_start,
             region_end, k,
         )
-        if r0 is not None:
-            n_off = len(r0.valid)
-            offs = np.arange(n_off)
-            _sid, _a, lo_i, hi_i = r0.site_info[ctx]
-            own = (offs >= max(lo_i, 0)) & (offs <= min(hi_i, n_off - 1))
-            for (_s2, _a2, lo_e, hi_e) in r0.site_info[:ctx]:
-                own &= ~(
-                    (offs >= max(lo_e, 0))
-                    & (offs <= min(hi_e, n_off - 1))
-                )
-            r0.valid = r0.valid & own
-            if r0.valid.any():
-                yield r0
+        if r0 is not None and _apply_anchor_ownership(r0, ctx):
+            yield r0
 
         try:
             combos = _anchored_combos(cluster[i : j + 1], k)
@@ -689,6 +717,35 @@ def build_single_run(
             "fallback window runs are only materialised eagerly (python "
             "extraction path); cannot rebuild lazily"
         )
+    if c_idx <= -3:
+        # native anchored dense-cluster row (graphite.cpp
+        # dense_cluster_runs_native): decode (cluster, anchor, ordinal)
+        # and rebuild through the python spec machinery
+        cluster = clusters[-3 - c_idx]
+        anchor, ordinal = divmod(x_idx, DENSE_COMBO_STRIDE)
+        l, j = _anchor_bounds(cluster, _del_prefix(cluster), anchor, k)
+        ctx = anchor - l
+        sub_full = list(cluster[l : j + 1])
+        if ordinal == 0:
+            run = _build_cluster_run(
+                graph, sub_full, [0] * len(sub_full), region_start,
+                region_end, k,
+            )
+            if run is not None and not _apply_anchor_ownership(run, ctx):
+                run = None
+        else:
+            # native rows exist only for non-overflowed anchors, so the
+            # enumeration cannot raise here
+            combo = _anchored_combos(cluster[anchor : j + 1], k)[
+                ordinal - 1
+            ]
+            run = _build_cluster_run(
+                graph, sub_full, [0] * ctx + combo, region_start,
+                region_end, k,
+            )
+        if run is not None:
+            run.ref = ref
+        return run
     if c_idx < 0:
         return _build_backbone_run(
             graph, clusters, region_start, region_end, k

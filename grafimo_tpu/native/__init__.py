@@ -100,13 +100,17 @@ def _lib() -> ctypes.CDLL:
             lib.gt_batch_regions.argtypes = [
                 u8p, c.c_int64, c.c_int64, i64p, i64p, i64p, i32p,
                 i64p, i64p, u8p, i64p, i64p, c.c_int64, c.c_int64,
-                i64p, i64p, c.c_int64, c.c_int64, c.c_int64,
+                i64p, i64p, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
             ]
             lib.gt_batch_regions.restype = c.c_void_p
             lib.gt_batch_n_overflows.argtypes = [c.c_void_p]
             lib.gt_batch_n_overflows.restype = c.c_int64
             lib.gt_batch_overflows.argtypes = [c.c_void_p, i32p]
             lib.gt_batch_overflows.restype = None
+            lib.gt_batch_n_dense_fallbacks.argtypes = [c.c_void_p]
+            lib.gt_batch_n_dense_fallbacks.restype = c.c_int64
+            lib.gt_batch_dense_fallbacks.argtypes = [c.c_void_p, i32p]
+            lib.gt_batch_dense_fallbacks.restype = None
             lib.gt_batch_rows.argtypes = [c.c_void_p, i64p, i64p, i64p]
             lib.gt_batch_rows.restype = None
             lib.gt_batch_export.argtypes = [
@@ -263,18 +267,28 @@ def build_region_runs_native(graph, region_start, region_end, k,
 
 
 def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 14,
-                         n_threads=0, bucket_slots=None):
+                         n_threads=0, bucket_slots=None, dense=False):
     """C++ full batch pipeline: all regions of one graph -> device-ready
     bucketed, bit-packed batches.
 
-    Returns ``(per_bucket, overflow_pairs)`` where ``per_bucket``
-    maps bucket length R to ``dict(packed, nbits, vbits, meta)`` (meta
-    int32 ``(rows, 4)``: region_idx, cluster_idx, combo_idx, chunk_off)
-    and ``overflow_pairs`` lists ``(region_idx, cluster_idx)`` of
-    over-dense clusters (candidate-combination cap) whose windows must
-    come from the exact python fallback — every OTHER cluster's runs are
-    already in the buckets (cluster-local degradation, never a whole
-    region).
+    Returns ``(per_bucket, overflow_pairs, dense_fallbacks)`` where
+    ``per_bucket`` maps bucket length R to ``dict(packed, nbits, vbits,
+    meta)`` (meta int32 ``(rows, 4)``: region_idx, cluster_idx,
+    combo_idx, chunk_off) and ``overflow_pairs`` lists ``(region_idx,
+    cluster_idx)`` of over-dense clusters (candidate-combination cap)
+    whose windows must come from the exact python fallback — every
+    OTHER cluster's runs are already in the buckets (cluster-local
+    degradation, never a whole region).
+
+    ``dense=True`` handles over-dense clusters IN PROCESS via the
+    anchored decomposition (graphite.cpp dense_cluster_runs_native —
+    the python ``runs.dense_cluster_runs`` is the spec): their rows land
+    in the buckets with lazily-resolvable refs (cluster ``-3 - ci``,
+    combo ``anchor * DENSE_COMBO_STRIDE + ordinal``), ``overflow_pairs``
+    stays empty for them, and ``dense_fallbacks`` lists ``(region_idx,
+    cluster_idx, anchor_idx)`` triples of ultra-dense anchors whose rows
+    still need the exact per-window python fallback
+    (``runs._anchor_window_fallback``).
 
     ``bucket_slots`` (aligned with ``sorted(buckets)``) enables native
     patch-descriptor emission: substitution-only cluster chunks with at
@@ -317,6 +331,7 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 14,
         bucket_arr.ctypes.data_as(i64p),
         slots_arr.ctypes.data_as(i64p), c.c_int64(bucket_arr.size),
         c.c_int64(max_combos), c.c_int64(n_threads),
+        c.c_int64(1 if dense else 0),
     )
     if not handle:
         raise RuntimeError("gt_batch_regions failed")
@@ -391,9 +406,19 @@ def batch_regions_native(graph, regions, k, buckets, max_combos=1 << 14,
         overflow = np.empty((n_ovf, 2), dtype=np.int32)
         if n_ovf:
             lib.gt_batch_overflows(handle, overflow.ctypes.data_as(i32p))
+        n_dfb = int(lib.gt_batch_n_dense_fallbacks(handle))
+        dense_fb = np.empty((n_dfb, 3), dtype=np.int32)
+        if n_dfb:
+            lib.gt_batch_dense_fallbacks(
+                handle, dense_fb.ctypes.data_as(i32p)
+            )
     finally:
         lib.gt_batch_free(handle)
-    return per_bucket, [(int(r), int(ci)) for r, ci in overflow]
+    return (
+        per_bucket,
+        [(int(r), int(ci)) for r, ci in overflow],
+        [(int(r), int(ci), int(ai)) for r, ci, ai in dense_fb],
+    )
 
 
 def vcf_parse_gt(sample_block: bytes, n_expected: int):

@@ -11,6 +11,7 @@
 // Compiled on demand by grafimo_tpu/native/__init__.py with g++ -O3 and
 // bound through ctypes (no pybind11 in this environment).
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -60,7 +61,22 @@ struct RunSet {
   // the exact per-window fallback for THESE clusters only; all other
   // clusters' runs are emitted normally (cluster-local degradation)
   std::vector<int32_t> overflow_clusters;
+  // (cluster, anchor) pairs of anchored-decomposition anchors whose
+  // window-sharing combination count exceeded DENSE_ANCHOR_COMBOS —
+  // the caller per-window-enumerates those anchors' rows only
+  std::vector<int32_t> dense_anchor_fallbacks;
 };
+
+// Anchored decomposition of over-dense clusters (mirrors
+// graph/runs.dense_cluster_runs — the python generator is the spec and
+// the differential oracle).  Emitted rows carry the lazily-resolvable
+// ref encoding (cluster_idx = -3 - ci, combo_idx = anchor *
+// DENSE_COMBO_STRIDE + ordinal) where ordinal 0 is the anchor's
+// ownership-filtered all-ref row and 1+x is _anchored_combos()[x];
+// graph/runs.build_single_run decodes it for hit reconstruction.
+// Constants MUST stay equal to graph/runs.py.
+constexpr int64_t DENSE_ANCHOR_COMBOS = int64_t(1) << 12;
+constexpr int64_t DENSE_COMBO_STRIDE = DENSE_ANCHOR_COMBOS + 2;
 
 struct GraphView {
   const uint8_t* seq;
@@ -80,12 +96,15 @@ int64_t site_deletable(const GraphView& g, const SiteView& s) {
 }
 
 // build one (cluster, combination) run; returns false if it has no valid
-// window (mirrors _build_cluster_run, runs.py)
+// window (mirrors _build_cluster_run, runs.py).  own_ctx >= 0 applies
+// the anchored all-ref ownership filter of dense_cluster_runs: keep
+// only windows determined by the site at cluster index own_ctx and by
+// NO earlier cluster site (runs.py dense_cluster_runs r0 filtering).
 bool build_cluster_run(const GraphView& g,
                        const std::vector<int>& cluster,  // site indices
                        const std::vector<int>& combo,
                        int64_t region_start, int64_t region_end, int64_t k,
-                       RunOut* out) {
+                       RunOut* out, int own_ctx = -1) {
   const SiteView& first = g.sites[cluster.front()];
   const SiteView& last = g.sites[cluster.back()];
   int64_t flank_l = std::max<int64_t>(0, first.start - (k - 1));
@@ -189,6 +208,21 @@ bool build_cluster_run(const GraphView& g,
     if (pos_begin[o] < region_start) valid[o] = 0;
     if (pos_end[o + k] > region_end) valid[o] = 0;
     any |= (valid[o] != 0);
+  }
+  if (any && own_ctx >= 0) {
+    const Det& dc = det[own_ctx];
+    int64_t olo = std::max<int64_t>(dc.lo, 0);
+    int64_t ohi = std::min<int64_t>(dc.hi, noff - 1);
+    any = false;
+    for (int64_t o = 0; o < noff; ++o) {
+      bool own = o >= olo && o <= ohi;
+      for (int c = 0; own && c < own_ctx; ++c)
+        if (o >= std::max<int64_t>(det[c].lo, 0) &&
+            o <= std::min<int64_t>(det[c].hi, noff - 1))
+          own = false;
+      if (!own) valid[o] = 0;
+      any |= (valid[o] != 0);
+    }
   }
   return any;
 }
@@ -298,8 +332,140 @@ bool enumerate_candidates(
   return true;
 }
 
+// All allele combinations over cluster[i0..j] whose support shares one
+// window AND includes site i0 (forced non-ref) — mirrors
+// runs._anchored_combos EXACTLY, pre-order DFS, python's overflow point
+// included (the cap check fires only inside the recursive extension,
+// matching the python generator's raise site so native and python agree
+// on WHICH anchors fall back).  Returns false on overflow.
+bool anchored_combos(const GraphView& g, const std::vector<int>& cl,
+                     size_t i0, size_t j, int64_t k,
+                     std::vector<std::vector<int>>* out) {
+  const size_t n = j - i0 + 1;
+  int64_t flank_l = std::max<int64_t>(0, g.sites[cl[i0]].start - (k - 1));
+  std::vector<int64_t> base(n);
+  int64_t rd = 0;
+  for (size_t t = 0; t < n; ++t) {
+    const SiteView& s = g.sites[cl[i0 + t]];
+    base[t] = s.start - flank_l + rd;
+    rd += g.allele_len[s.allele_off] - (s.end - s.start);
+  }
+  out->clear();
+  std::vector<int> combo(n, 0);
+  bool ok = true;
+  std::function<void(size_t, int64_t, int64_t, int64_t)> extend =
+      [&](size_t start_i, int64_t ilo, int64_t ihi, int64_t delta) {
+        for (size_t t = start_i; t < n && ok; ++t) {
+          const SiteView& s = g.sites[cl[i0 + t]];
+          int64_t lo = base[t] + delta - k + 1;
+          if (lo > ihi) break;  // later sites start even further right
+          int64_t span_d = base[t] + delta;
+          for (int a = 1; a < s.n_alleles && ok; ++a) {
+            int64_t alen = g.allele_len[s.allele_off + a];
+            int64_t hi = alen == 0 ? span_d - 1 : span_d + alen - 1;
+            int64_t nlo = std::max(ilo, lo);
+            int64_t nhi = std::min(ihi, hi);
+            if (nlo > nhi) continue;
+            combo[t] = a;
+            out->push_back(combo);
+            if ((int64_t)out->size() > DENSE_ANCHOR_COMBOS) {
+              ok = false;
+              break;
+            }
+            extend(t + 1, nlo, nhi,
+                   delta + alen - g.allele_len[s.allele_off]);
+            combo[t] = 0;
+          }
+        }
+      };
+  const SiteView& s0 = g.sites[cl[i0]];
+  for (int a = 1; a < s0.n_alleles && ok; ++a) {
+    int64_t alen = g.allele_len[s0.allele_off + a];
+    int64_t hi0 = alen == 0 ? base[0] - 1 : base[0] + alen - 1;
+    int64_t lo0 = base[0] - k + 1;
+    combo[0] = a;
+    // python appends WITHOUT a cap check at the top level — mirror it
+    out->push_back(combo);
+    extend(1, lo0, hi0, alen - g.allele_len[s0.allele_off]);
+    combo[0] = 0;
+  }
+  return ok;
+}
+
+// anchor geometry (mirrors runs._anchor_bounds): [l, j] = left-context
+// start and rightward window-sharing reach of anchor i
+void anchor_bounds(const GraphView& g, const std::vector<int>& cl,
+                   const std::vector<int64_t>& del_pref, size_t i,
+                   int64_t k, size_t* l_out, size_t* j_out) {
+  const size_t n = cl.size();
+  size_t j = i;
+  while (j + 1 < n) {
+    const SiteView& nx = g.sites[cl[j + 1]];
+    int64_t slack = del_pref[j + 1] - del_pref[i];
+    if (nx.start - g.sites[cl[i]].end < k + slack)
+      ++j;
+    else
+      break;
+  }
+  size_t l = i;
+  while (l > 0 &&
+         g.sites[cl[l - 1]].end > g.sites[cl[i]].start - k + 1)
+    --l;
+  *l_out = l;
+  *j_out = j;
+}
+
+// anchored decomposition of ONE over-dense cluster (mirrors
+// runs.dense_cluster_runs): per anchor i, an ownership-filtered all-ref
+// row (ordinal 0) plus one row per window-sharing combination rooted at
+// i (ordinal 1+x); anchors past DENSE_ANCHOR_COMBOS are recorded for
+// the exact per-window python fallback.
+void dense_cluster_runs_native(const GraphView& g,
+                               const std::vector<int>& cl, int32_t ci,
+                               int64_t region_start, int64_t region_end,
+                               int64_t k, RunSet* rs) {
+  const size_t n = cl.size();
+  std::vector<int64_t> del_pref(n + 1, 0);
+  for (size_t t = 0; t < n; ++t)
+    del_pref[t + 1] = del_pref[t] + site_deletable(g, g.sites[cl[t]]);
+  std::vector<std::vector<int>> combos;
+  std::vector<int> sub_full, combo_full;
+  for (size_t i = 0; i < n; ++i) {
+    size_t l, j;
+    anchor_bounds(g, cl, del_pref, i, k, &l, &j);
+    size_t ctx = i - l;
+    sub_full.assign(cl.begin() + l, cl.begin() + j + 1);
+    combo_full.assign(sub_full.size(), 0);
+    RunOut r0;
+    if (build_cluster_run(g, sub_full, combo_full, region_start,
+                          region_end, k, &r0, (int)ctx)) {
+      r0.cluster_idx = -3 - ci;
+      r0.combo_idx = (int32_t)((int64_t)i * DENSE_COMBO_STRIDE);
+      rs->runs.push_back(std::move(r0));
+    }
+    if (!anchored_combos(g, cl, i, j, k, &combos)) {
+      rs->dense_anchor_fallbacks.push_back(ci);
+      rs->dense_anchor_fallbacks.push_back((int32_t)i);
+      continue;
+    }
+    for (size_t x = 0; x < combos.size(); ++x) {
+      for (size_t t = 0; t < sub_full.size(); ++t)
+        combo_full[t] = t < ctx ? 0 : combos[x][t - ctx];
+      RunOut r;
+      if (build_cluster_run(g, sub_full, combo_full, region_start,
+                            region_end, k, &r)) {
+        r.cluster_idx = -3 - ci;
+        r.combo_idx =
+            (int32_t)((int64_t)i * DENSE_COMBO_STRIDE + 1 + (int64_t)x);
+        rs->runs.push_back(std::move(r));
+      }
+    }
+  }
+}
+
 RunSet* build_runs_impl(const GraphView& g, int64_t region_start,
-                        int64_t region_end, int64_t k, int64_t max_combos) {
+                        int64_t region_end, int64_t k, int64_t max_combos,
+                        bool dense_native = false) {
   auto* rs = new RunSet();
   // cluster decomposition (mirrors cluster_sites, runs.py).  Sites are
   // sorted and non-overlapping, so binary-search the first candidate
@@ -333,8 +499,17 @@ RunSet* build_runs_impl(const GraphView& g, int64_t region_start,
   for (size_t ci = 0; ci < clusters.size(); ++ci) {
     const auto& cl = clusters[ci];
     if (!enumerate_candidates(g, cl, k, max_combos, &cands)) {
-      // over-dense cluster: callers run the exact per-window python
-      // fallback for this cluster (runs._fallback_cluster_windows)
+      // over-dense cluster: anchored decomposition in-process (the
+      // python generator is the spec; MHC-class pockets build here at
+      // native speed with no python Run materialisation) unless its
+      // (anchor, ordinal) identity would not fit the int32 combo-idx
+      // — then the legacy whole-cluster python fallback
+      if (dense_native &&
+          (int64_t)cl.size() * DENSE_COMBO_STRIDE < (int64_t)INT32_MAX) {
+        dense_cluster_runs_native(g, cl, (int32_t)ci, region_start,
+                                  region_end, k, rs);
+        continue;
+      }
       rs->status = 1;
       rs->overflow_clusters.push_back((int32_t)ci);
       continue;
@@ -400,6 +575,10 @@ struct BatchSet {
   // enumeration overflowed; every other cluster's runs ARE in the
   // buckets — the caller per-window-enumerates only these clusters
   std::vector<int32_t> overflow_pairs;
+  // flattened (region_idx, cluster_idx, anchor_idx) triples of dense
+  // anchors past DENSE_ANCHOR_COMBOS — the caller per-window-
+  // enumerates only those anchors' rows (_anchor_window_fallback)
+  std::vector<int32_t> dense_fallbacks;
 };
 
 void append_chunk(BucketBuf* b, int64_t k, const uint8_t* codes,
@@ -493,7 +672,7 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
                    const int64_t* region_starts, const int64_t* region_ends,
                    int64_t k, const int64_t* bucket_sizes, int64_t n_buckets,
                    int64_t max_combos, std::atomic<int64_t>* next_region,
-                   int64_t n_regions) {
+                   int64_t n_regions, bool dense_native) {
   const int64_t stride_base = bucket_sizes[n_buckets - 1] - k + 1;
   auto place_run = [&](const RunOut& r, int32_t region) {
     int64_t L = (int64_t)r.codes.size();
@@ -507,7 +686,10 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
       int64_t bi = 0;
       while (bucket_sizes[bi] < chunk_len) ++bi;
       BucketBuf* b = &bs->buckets[bi];
-      if (r.cluster_idx >= 0 && b->slots > 0 &&
+      // descriptor-eligible rows: cluster combinations (>= 0) AND dense
+      // anchored rows (<= -3) — only the backbone (-1) expands via its
+      // own strided path
+      if (r.cluster_idx != -1 && b->slots > 0 &&
           (r.patchable || r.spliceable)) {
         // patches covered by this chunk: run offsets in [pos, pos + R)
         while (p_cursor < r.patches.size() &&
@@ -564,10 +746,15 @@ void fill_batchset(BatchSet* bs, const GraphView& g,
     int64_t ri = next_region->fetch_add(1);
     if (ri >= n_regions) break;
     RunSet* rs = build_runs_impl(g, region_starts[ri], region_ends[ri], k,
-                                 max_combos);
+                                 max_combos, dense_native);
     for (int32_t ci : rs->overflow_clusters) {
       bs->overflow_pairs.push_back((int32_t)ri);
       bs->overflow_pairs.push_back(ci);
+    }
+    for (size_t t = 0; t + 1 < rs->dense_anchor_fallbacks.size(); t += 2) {
+      bs->dense_fallbacks.push_back((int32_t)ri);
+      bs->dense_fallbacks.push_back(rs->dense_anchor_fallbacks[t]);
+      bs->dense_fallbacks.push_back(rs->dense_anchor_fallbacks[t + 1]);
     }
     for (const RunOut& r : rs->runs) place_run(r, (int32_t)ri);
     delete rs;
@@ -579,7 +766,8 @@ BatchSet* batch_regions_impl(const GraphView& g,
                              const int64_t* region_ends, int64_t n_regions,
                              int64_t k, const int64_t* bucket_sizes,
                              const int64_t* bucket_slots, int64_t n_buckets,
-                             int64_t max_combos, int64_t n_threads) {
+                             int64_t max_combos, int64_t n_threads,
+                             bool dense_native) {
   n_threads = std::max<int64_t>(1, std::min(n_threads, n_regions));
   std::vector<BatchSet*> partials(n_threads);
   for (auto& p : partials) {
@@ -597,13 +785,14 @@ BatchSet* batch_regions_impl(const GraphView& g,
   if (n_threads == 1) {
     fill_batchset(partials[0], g, region_starts, region_ends, k,
                   bucket_sizes, n_buckets, max_combos, &next_region,
-                  n_regions);
+                  n_regions, dense_native);
   } else {
     std::vector<std::thread> workers;
     for (int64_t t = 0; t < n_threads; ++t)
       workers.emplace_back(fill_batchset, partials[t], std::cref(g),
                            region_starts, region_ends, k, bucket_sizes,
-                           n_buckets, max_combos, &next_region, n_regions);
+                           n_buckets, max_combos, &next_region, n_regions,
+                           dense_native);
     for (auto& w : workers) w.join();
   }
   BatchSet* bs = partials[0];
@@ -612,6 +801,9 @@ BatchSet* batch_regions_impl(const GraphView& g,
     bs->overflow_pairs.insert(bs->overflow_pairs.end(),
                               p->overflow_pairs.begin(),
                               p->overflow_pairs.end());
+    bs->dense_fallbacks.insert(bs->dense_fallbacks.end(),
+                               p->dense_fallbacks.begin(),
+                               p->dense_fallbacks.end());
     for (int64_t i = 0; i < n_buckets; ++i) {
       BucketBuf& dst = bs->buckets[i];
       BucketBuf& src = p->buckets[i];
@@ -660,7 +852,7 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
                        int64_t k, const int64_t* bucket_sizes,
                        const int64_t* bucket_slots,
                        int64_t n_buckets, int64_t max_combos,
-                       int64_t n_threads) {
+                       int64_t n_threads, int64_t dense_native) {
   GraphView g;
   g.seq = seq;
   g.L = L;
@@ -674,8 +866,28 @@ void* gt_batch_regions(const uint8_t* seq, int64_t L, int64_t n_sites,
   BatchSet* bs =
       batch_regions_impl(g, region_starts, region_ends, n_regions, k,
                          bucket_sizes, bucket_slots, n_buckets, max_combos,
-                         n_threads);
+                         n_threads, dense_native != 0);
   return bs;
+}
+
+int64_t gt_batch_n_dense_fallbacks(void* h) {
+  return (int64_t)(((BatchSet*)h)->dense_fallbacks.size() / 3);
+}
+
+// out: n x 3 int32 (region_idx, cluster_idx, anchor_idx), sorted for
+// determinism (thread merge order is scheduling-dependent)
+void gt_batch_dense_fallbacks(void* h, int32_t* out) {
+  BatchSet* bs = (BatchSet*)h;
+  std::vector<std::array<int32_t, 3>> triples;
+  for (size_t i = 0; i + 2 < bs->dense_fallbacks.size(); i += 3)
+    triples.push_back({bs->dense_fallbacks[i], bs->dense_fallbacks[i + 1],
+                       bs->dense_fallbacks[i + 2]});
+  std::sort(triples.begin(), triples.end());
+  for (size_t i = 0; i < triples.size(); ++i) {
+    out[3 * i] = triples[i][0];
+    out[3 * i + 1] = triples[i][1];
+    out[3 * i + 2] = triples[i][2];
+  }
 }
 
 int64_t gt_batch_n_overflows(void* h) {

@@ -25,6 +25,9 @@ import pandas as pd
 
 from grafimo_tpu.graph.runs import (
     Run,
+    _anchor_bounds,
+    _anchor_window_fallback,
+    _del_prefix,
     build_single_run,
     dense_cluster_runs,
     cluster_sites,
@@ -118,6 +121,59 @@ class RunPayload:
 class RunChunk:
     source: Tuple[str, Tuple[int, int]]  # (region key, run ref)
     chunk_off: int  # offset of this chunk within the run
+
+
+class ChunkTable:
+    """Array-backed drop-in for ``List[RunChunk]`` on native batches.
+
+    Chromosome-scale scans carry millions of rows per graph; one python
+    ``RunChunk`` (+ its tuples) costs ~250 B and an allocation, so the
+    per-row object list was both the extraction-wall and the RSS tail
+    after the round-5 native dense decomposition.  The C++ batcher
+    already returns the chunk identity as int32 meta columns — this
+    view keeps them as arrays and materialises a ``RunChunk`` only when
+    a row is actually touched (hit bookkeeping touches only hit rows).
+    """
+
+    __slots__ = ("keys", "key_idx", "c_idx", "x_idx", "off")
+
+    def __init__(self, keys, key_idx, c_idx, x_idx, off):
+        self.keys = keys  # region-key list, indexed by key_idx
+        self.key_idx = key_idx
+        self.c_idx = c_idx
+        self.x_idx = x_idx
+        self.off = off
+
+    @classmethod
+    def from_meta(cls, keys: List[str], meta: np.ndarray) -> "ChunkTable":
+        """``meta`` int32 ``(rows, 4)``: key idx, cluster, combo, off."""
+        return cls(
+            keys, meta[:, 0].copy(), meta[:, 1].copy(),
+            meta[:, 2].copy(), meta[:, 3].copy(),
+        )
+
+    def take(self, sel) -> "ChunkTable":
+        """Row subset (bool mask or index array), still array-backed."""
+        return ChunkTable(
+            self.keys, self.key_idx[sel], self.c_idx[sel],
+            self.x_idx[sel], self.off[sel],
+        )
+
+    def __len__(self) -> int:
+        return len(self.key_idx)
+
+    def __getitem__(self, i: int) -> RunChunk:
+        return RunChunk(
+            (
+                self.keys[int(self.key_idx[i])],
+                (int(self.c_idx[i]), int(self.x_idx[i])),
+            ),
+            int(self.off[i]),
+        )
+
+    def __iter__(self):
+        for i in range(len(self.key_idx)):
+            yield self[i]
 
 
 @dataclass
@@ -322,13 +378,7 @@ def load_batches(path: str) -> Tuple[List[DeviceBatch], List[str]]:
         batches = []
         for bi in range(int(data["n_batches"][0])):
             meta = data[f"b{bi}_meta"]
-            chunks = [
-                RunChunk(
-                    (region_keys[int(m[0])], (int(m[1]), int(m[2]))),
-                    int(m[3]),
-                )
-                for m in meta
-            ]
+            chunks = ChunkTable.from_meta(region_keys, meta)
             batches.append(
                 DeviceBatch(
                     R=int(data[f"b{bi}_R"][0]),
@@ -389,18 +439,25 @@ def batch_runs(
         ]
         for group in groups.values():
             try:
-                per_bucket_native, overflow_pairs = fn(
+                per_bucket_native, overflow_pairs, dense_fallbacks = fn(
                     group[0].graph,
                     [(rr.start, rr.stop) for rr in group],
                     k,
                     sorted_buckets,
                     n_threads=threads,
                     bucket_slots=bucket_slots,
+                    # over-dense clusters decompose IN C++ for resident
+                    # scans (rows carry lazily-resolvable dense refs);
+                    # checkpoint scans (resident=False) keep the legacy
+                    # python path — their (-2, n) ref ordinals are part
+                    # of the persisted format
+                    dense=resident,
                 )
-                # over-dense clusters (candidate-combination cap):
-                # anchored short combination runs for THOSE clusters
-                # only (graph/runs.dense_cluster_runs); the region's
-                # other runs are already in the native buckets.  Dense
+                # over-dense clusters (candidate-combination cap) the
+                # native engine did NOT decompose (checkpoint mode, or
+                # a cluster too large for the int32 dense-ref
+                # encoding): anchored short combination runs for THOSE
+                # clusters only (graph/runs.dense_cluster_runs).  Dense
                 # payloads ride a shim RegionRuns sharing the
                 # original's key and run cache so hit reconstruction
                 # resolves (-2, i) refs through the same region.
@@ -424,9 +481,36 @@ def batch_runs(
                         python_rrs.append(
                             dc_replace(rr, payloads=fb_payloads)
                         )
+                # ultra-dense anchors past the per-anchor combination
+                # cap: exact per-window rows for those anchors only
+                # (runs._anchor_window_fallback — mirrors the python
+                # dense generator's per-anchor escape hatch)
+                for ri, ci, ai in dense_fallbacks:
+                    rr = group[ri]
+                    if ri not in clusters_of:
+                        clusters_of[ri] = cluster_sites(
+                            rr.graph, rr.start, rr.stop, k
+                        )
+                    cl = clusters_of[ri][ci]
+                    _l, j_reach = _anchor_bounds(
+                        cl, _del_prefix(cl), ai, k
+                    )
+                    fb_payloads = []
+                    for run in _anchor_window_fallback(
+                        rr.graph, cl, ai, j_reach, rr.start, rr.stop, k
+                    ):
+                        run.ref = (-2, n_fb.setdefault(ri, 0))
+                        n_fb[ri] += 1
+                        rr._run_cache[run.ref] = run
+                        fb_payloads.append(_payload_from_run(run))
+                    if fb_payloads:
+                        python_rrs.append(
+                            dc_replace(rr, payloads=fb_payloads)
+                        )
                 region_lo = np.array(
                     [max(0, rr.start) for rr in group], dtype=np.int64
                 )
+                group_keys = [rr.key for rr in group]
                 for r_len, d in per_bucket_native.items():
                     p = d.get("patched")
                     if p is not None and len(p["meta"]):
@@ -434,16 +518,9 @@ def batch_runs(
                             DeviceBatch(
                                 R=r_len, packed=None, nbits=None,
                                 vbits=p["vbits"],
-                                chunks=[
-                                    RunChunk(
-                                        (
-                                            group[int(m[0])].key,
-                                            (int(m[1]), int(m[2])),
-                                        ),
-                                        int(m[3]),
-                                    )
-                                    for m in p["meta"]
-                                ],
+                                chunks=ChunkTable.from_meta(
+                                    group_keys, p["meta"]
+                                ),
                                 gstart=p["gstart"].astype(np.int32),
                                 graph=group[0].graph,
                                 patches=p["patches"],
@@ -455,16 +532,9 @@ def batch_runs(
                             DeviceBatch(
                                 R=r_len, packed=None, nbits=None,
                                 vbits=sp["vbits"],
-                                chunks=[
-                                    RunChunk(
-                                        (
-                                            group[int(m[0])].key,
-                                            (int(m[1]), int(m[2])),
-                                        ),
-                                        int(m[3]),
-                                    )
-                                    for m in sp["meta"]
-                                ],
+                                chunks=ChunkTable.from_meta(
+                                    group_keys, sp["meta"]
+                                ),
                                 gstart=sp["gstart"].astype(np.int32),
                                 graph=group[0].graph,
                                 patches=sp["patches"],
@@ -474,13 +544,7 @@ def batch_runs(
                     if "meta" not in d:
                         continue
                     meta = d["meta"]
-                    chunks = [
-                        RunChunk(
-                            (group[int(m[0])].key, (int(m[1]), int(m[2]))),
-                            int(m[3]),
-                        )
-                        for m in meta
-                    ]
+                    chunks = ChunkTable.from_meta(group_keys, meta)
                     bb = meta[:, 1] == -1
                     if resident and bb.any():
                         gstart = (
@@ -490,9 +554,7 @@ def batch_runs(
                             DeviceBatch(
                                 R=r_len, packed=None, nbits=None,
                                 vbits=d["vbits"][bb],
-                                chunks=[
-                                    c for c, f in zip(chunks, bb) if f
-                                ],
+                                chunks=chunks.take(bb),
                                 gstart=gstart, graph=group[0].graph,
                             )
                         )
@@ -504,11 +566,7 @@ def batch_runs(
                                     packed=d["packed"][rest],
                                     nbits=d["nbits"][rest],
                                     vbits=d["vbits"][rest],
-                                    chunks=[
-                                        c
-                                        for c, f in zip(chunks, rest)
-                                        if f
-                                    ],
+                                    chunks=chunks.take(rest),
                                 )
                             )
                     else:

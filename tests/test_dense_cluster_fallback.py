@@ -62,10 +62,11 @@ def test_native_batcher_cluster_local_overflow(dense_graph):
     clusters = cluster_sites(dense_graph, 0, 100, k)
     # the fixture graph has exactly one (over-dense) cluster; add context:
     # region also has backbone windows, which must land in the buckets
-    per_bucket, overflow = native.batch_regions_native(
+    per_bucket, overflow, dense_fb = native.batch_regions_native(
         dense_graph, [(0, 100)], k, buckets=(128,)
     )
     assert overflow == [(0, ci) for ci in range(len(clusters))]
+    assert dense_fb == []  # dense=False keeps the legacy fallback path
     rows = sum(
         len(d.get("meta", ())) + len(d.get("patched", {}).get("meta", ()))
         for d in per_bucket.values()
