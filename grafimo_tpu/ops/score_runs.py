@@ -252,6 +252,19 @@ SCAN_ELEMS_HINT = float("inf")
 PALLAS_HIST_MIN_ELEMS = float(
     __import__("os").environ.get("GRAFIMO_PALLAS_HIST_MIN_ELEMS", "1e10")
 )
+# auto mode takes the Mosaic kernel only for LONG-bucket shapes: every
+# distinct (rows, noff, m) shape costs a fresh uncacheable Mosaic
+# compile (~60-230 s through the tunnel, seconds on a direct host), and
+# the round-5 dense residency multiplied the short-bucket shape count
+# (patched/spliced/packed x R in {64,128,256}).  Short buckets hold a
+# bounded share of window mass (~0.5 s of chip time per 100 M windows
+# at the XLA-dot rate) while each shape's compile costs minutes per
+# process — the XLA dot persists in the compile cache, Mosaic does not.
+# Measured: the 10 Mbp pocketed warm scan was 1080 s with ~1000 s of
+# short-shape Mosaic compiles before this gate.
+PALLAS_HIST_MIN_NOFF = int(
+    __import__("os").environ.get("GRAFIMO_PALLAS_HIST_MIN_NOFF", "512")
+)
 
 
 # True while tracing inside a runscan shard_map body (each shard is a
@@ -260,7 +273,7 @@ PALLAS_HIST_MIN_ELEMS = float(
 IN_SHARD_BODY = False
 
 
-def _pallas_hist_mode() -> str:
+def _pallas_hist_mode(noff: int = None) -> str:
     """``'off' | 'bf16' | 'int8' | 'bf16lo128' | 'v2bf16' | 'v2int8'`` —
     resolved at TRACE time.
 
@@ -289,6 +302,7 @@ def _pallas_hist_mode() -> str:
             jax.default_backend() == "tpu"
             and (len(jax.local_devices()) == 1 or IN_SHARD_BODY)
             and SCAN_ELEMS_HINT >= PALLAS_HIST_MIN_ELEMS
+            and (noff is None or noff >= PALLAS_HIST_MIN_NOFF)
         ):
             return "bf16lo128"  # fastest measured variant (bench_hist2)
     return "off"
@@ -310,7 +324,7 @@ def _exact_hist(
     On a single TPU device the contraction runs as a Pallas kernel that
     builds the one-hot operands in VMEM (:func:`_pallas_hist_mode`).
     """
-    mode = _pallas_hist_mode() if allow_pallas else "off"
+    mode = _pallas_hist_mode(scores.shape[1]) if allow_pallas else "off"
     if mode != "off" and scores.shape[-1] <= 16:  # pallas_hist.MAX_M
         from grafimo_tpu.ops.pallas_hist import hist_pallas, hist_pallas2
 

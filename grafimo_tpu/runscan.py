@@ -485,6 +485,7 @@ def batch_runs(
                 # cap: exact per-window rows for those anchors only
                 # (runs._anchor_window_fallback — mirrors the python
                 # dense generator's per-anchor escape hatch)
+                delpref_of: Dict[Tuple[int, int], list] = {}
                 for ri, ci, ai in dense_fallbacks:
                     rr = group[ri]
                     if ri not in clusters_of:
@@ -492,9 +493,10 @@ def batch_runs(
                             rr.graph, rr.start, rr.stop, k
                         )
                     cl = clusters_of[ri][ci]
-                    _l, j_reach = _anchor_bounds(
-                        cl, _del_prefix(cl), ai, k
-                    )
+                    dp = delpref_of.get((ri, ci))
+                    if dp is None:
+                        dp = delpref_of[(ri, ci)] = _del_prefix(cl)
+                    _l, j_reach = _anchor_bounds(cl, dp, ai, k)
                     fb_payloads = []
                     for run in _anchor_window_fallback(
                         rr.graph, cl, ai, j_reach, rr.start, rr.stop, k
