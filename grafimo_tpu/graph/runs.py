@@ -456,11 +456,17 @@ def _fallback_cluster_windows(
 # fallback for its own rows only (ultra-dense spots degrade locally)
 DENSE_ANCHOR_COMBOS = 1 << 12
 # native dense-row ref encoding (graphite.cpp dense_cluster_runs_native;
-# constants MUST stay equal): ref = (-3 - cluster_idx, anchor *
-# DENSE_COMBO_STRIDE + ordinal) with ordinal 0 the anchor's ownership-
-# filtered all-ref row and 1 + x the x-th _anchored_combos entry —
-# build_single_run decodes it for lazy hit reconstruction
+# constants MUST stay equal).  The anchor index is spread over BOTH
+# int32 fields — the chaining rule's accumulated-deletable slack merges
+# a whole 1KGP chromosome into one multi-million-site cluster:
+#   ref = (-3 - (cluster_idx * DENSE_CLUSTER_MULT + anchor_block),
+#          (anchor % DENSE_ANCHOR_BLOCK) * DENSE_COMBO_STRIDE + ordinal)
+# with ordinal 0 the anchor's ownership-filtered all-ref row and 1 + x
+# the x-th _anchored_combos entry — build_single_run decodes it for
+# lazy hit reconstruction
 DENSE_COMBO_STRIDE = DENSE_ANCHOR_COMBOS + 2
+DENSE_ANCHOR_BLOCK = 1 << 18
+DENSE_CLUSTER_MULT = 128
 
 
 def _anchor_bounds(
@@ -721,8 +727,10 @@ def build_single_run(
         # native anchored dense-cluster row (graphite.cpp
         # dense_cluster_runs_native): decode (cluster, anchor, ordinal)
         # and rebuild through the python spec machinery
-        cluster = clusters[-3 - c_idx]
-        anchor, ordinal = divmod(x_idx, DENSE_COMBO_STRIDE)
+        ci, blk = divmod(-3 - c_idx, DENSE_CLUSTER_MULT)
+        cluster = clusters[ci]
+        a_rem, ordinal = divmod(x_idx, DENSE_COMBO_STRIDE)
+        anchor = blk * DENSE_ANCHOR_BLOCK + a_rem
         # memoise the deletable prefix per cluster: the chaining rule
         # merges whole 1KGP chromosomes into one mega-cluster (330k
         # sites at 10 Mbp), and an O(cluster) recompute per hit made
@@ -730,7 +738,7 @@ def build_single_run(
         memo = getattr(graph, "_dense_delpref_cache", None)
         if memo is None:
             memo = graph._dense_delpref_cache = {}
-        dpk = (region_start, region_end, k, c_idx)
+        dpk = (region_start, region_end, k, ci)
         del_pref = memo.get(dpk)
         if del_pref is None:
             del_pref = memo[dpk] = _del_prefix(cluster)

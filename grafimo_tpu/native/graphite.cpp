@@ -69,14 +69,23 @@ struct RunSet {
 
 // Anchored decomposition of over-dense clusters (mirrors
 // graph/runs.dense_cluster_runs — the python generator is the spec and
-// the differential oracle).  Emitted rows carry the lazily-resolvable
-// ref encoding (cluster_idx = -3 - ci, combo_idx = anchor *
-// DENSE_COMBO_STRIDE + ordinal) where ordinal 0 is the anchor's
-// ownership-filtered all-ref row and 1+x is _anchored_combos()[x];
-// graph/runs.build_single_run decodes it for hit reconstruction.
-// Constants MUST stay equal to graph/runs.py.
+// the differential oracle).  Emitted rows carry a lazily-resolvable
+// ref spread over BOTH int32 meta fields (the chaining rule's
+// accumulated-deletable slack merges a whole 1KGP chromosome into one
+// multi-million-site cluster, so the anchor index alone can overflow
+// one field):
+//   cluster_idx = -3 - (ci * DENSE_CLUSTER_MULT + anchor_block)
+//   combo_idx   = (anchor % DENSE_ANCHOR_BLOCK) * DENSE_COMBO_STRIDE
+//                 + ordinal,  anchor_block = anchor / DENSE_ANCHOR_BLOCK
+// where ordinal 0 is the anchor's ownership-filtered all-ref row and
+// 1+x is _anchored_combos()[x]; graph/runs.build_single_run decodes it
+// for hit reconstruction.  Capacity: clusters to 128 * 2^18 = 33.5 M
+// sites, 16.7 M clusters per region.  Constants MUST stay equal to
+// graph/runs.py.
 constexpr int64_t DENSE_ANCHOR_COMBOS = int64_t(1) << 12;
 constexpr int64_t DENSE_COMBO_STRIDE = DENSE_ANCHOR_COMBOS + 2;
+constexpr int64_t DENSE_ANCHOR_BLOCK = int64_t(1) << 18;
+constexpr int64_t DENSE_CLUSTER_MULT = 128;
 
 struct GraphView {
   const uint8_t* seq;
@@ -436,11 +445,15 @@ void dense_cluster_runs_native(const GraphView& g,
     size_t ctx = i - l;
     sub_full.assign(cl.begin() + l, cl.begin() + j + 1);
     combo_full.assign(sub_full.size(), 0);
+    const int32_t c_field = (int32_t)(
+        -3 - ((int64_t)ci * DENSE_CLUSTER_MULT
+              + (int64_t)i / DENSE_ANCHOR_BLOCK));
+    const int64_t a_rem = (int64_t)i % DENSE_ANCHOR_BLOCK;
     RunOut r0;
     if (build_cluster_run(g, sub_full, combo_full, region_start,
                           region_end, k, &r0, (int)ctx)) {
-      r0.cluster_idx = -3 - ci;
-      r0.combo_idx = (int32_t)((int64_t)i * DENSE_COMBO_STRIDE);
+      r0.cluster_idx = c_field;
+      r0.combo_idx = (int32_t)(a_rem * DENSE_COMBO_STRIDE);
       rs->runs.push_back(std::move(r0));
     }
     if (!anchored_combos(g, cl, i, j, k, &combos)) {
@@ -454,9 +467,9 @@ void dense_cluster_runs_native(const GraphView& g,
       RunOut r;
       if (build_cluster_run(g, sub_full, combo_full, region_start,
                             region_end, k, &r)) {
-        r.cluster_idx = -3 - ci;
+        r.cluster_idx = c_field;
         r.combo_idx =
-            (int32_t)((int64_t)i * DENSE_COMBO_STRIDE + 1 + (int64_t)x);
+            (int32_t)(a_rem * DENSE_COMBO_STRIDE + 1 + (int64_t)x);
         rs->runs.push_back(std::move(r));
       }
     }
@@ -500,12 +513,16 @@ RunSet* build_runs_impl(const GraphView& g, int64_t region_start,
     const auto& cl = clusters[ci];
     if (!enumerate_candidates(g, cl, k, max_combos, &cands)) {
       // over-dense cluster: anchored decomposition in-process (the
-      // python generator is the spec; MHC-class pockets build here at
+      // python generator is the spec; MHC-class pockets AND the
+      // chained mega-clusters of whole 1KGP chromosomes build here at
       // native speed with no python Run materialisation) unless its
-      // (anchor, ordinal) identity would not fit the int32 combo-idx
-      // — then the legacy whole-cluster python fallback
+      // blocked (cluster, anchor, ordinal) identity would not fit the
+      // two int32 meta fields — then the legacy python fallback
       if (dense_native &&
-          (int64_t)cl.size() * DENSE_COMBO_STRIDE < (int64_t)INT32_MAX) {
+          (int64_t)cl.size() <=
+              DENSE_CLUSTER_MULT * DENSE_ANCHOR_BLOCK &&
+          (int64_t)ci * DENSE_CLUSTER_MULT + DENSE_CLUSTER_MULT <
+              (int64_t)INT32_MAX - 3) {
         dense_cluster_runs_native(g, cl, (int32_t)ci, region_start,
                                   region_end, k, rs);
         continue;

@@ -222,14 +222,33 @@ def test_native_dense_ultra_anchor_falls_back():
 
 
 def test_dense_ref_encoding_roundtrip():
-    """The (cluster, anchor, ordinal) <-> (c_idx, x_idx) encoding is
-    self-consistent and distinct from backbone/-2 refs."""
-    for ci in (0, 5, 1000):
-        for anchor in (0, 3, 77):
+    """The blocked (cluster, anchor, ordinal) <-> (c_idx, x_idx)
+    encoding round-trips within int32 for mega-cluster anchor indices
+    (the chaining rule merges whole 1KGP chromosomes into one
+    multi-million-site cluster) and stays distinct from backbone/-2."""
+    from grafimo_tpu.graph.runs import (
+        DENSE_ANCHOR_BLOCK,
+        DENSE_CLUSTER_MULT,
+    )
+
+    for ci in (0, 5, 1000, 16_000_000):
+        for anchor in (0, 3, DENSE_ANCHOR_BLOCK - 1, DENSE_ANCHOR_BLOCK,
+                       6_300_000, DENSE_CLUSTER_MULT
+                       * DENSE_ANCHOR_BLOCK - 1):
             for ordinal in (0, 1, DENSE_COMBO_STRIDE - 1):
-                c_idx = -3 - ci
-                x_idx = anchor * DENSE_COMBO_STRIDE + ordinal
+                c_idx = -3 - (ci * DENSE_CLUSTER_MULT
+                              + anchor // DENSE_ANCHOR_BLOCK)
+                x_idx = (
+                    anchor % DENSE_ANCHOR_BLOCK
+                ) * DENSE_COMBO_STRIDE + ordinal
+                if ci * DENSE_CLUSTER_MULT + DENSE_CLUSTER_MULT >= (
+                    1 << 31
+                ) - 3:
+                    continue  # native would take the legacy fallback
                 assert c_idx <= -3
-                a2, o2 = divmod(x_idx, DENSE_COMBO_STRIDE)
-                assert (a2, o2) == (anchor, ordinal)
-                assert -3 - c_idx == ci
+                assert -(1 << 31) <= c_idx and x_idx < (1 << 31)
+                ci2, blk = divmod(-3 - c_idx, DENSE_CLUSTER_MULT)
+                a_rem, o2 = divmod(x_idx, DENSE_COMBO_STRIDE)
+                assert ci2 == ci
+                assert blk * DENSE_ANCHOR_BLOCK + a_rem == anchor
+                assert o2 == ordinal
