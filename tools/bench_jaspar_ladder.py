@@ -88,7 +88,8 @@ def main() -> None:
 
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
+        os.environ.get("GRAFIMO_JAX_CACHE")
+        or os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
