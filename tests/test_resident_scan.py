@@ -358,3 +358,23 @@ def test_strided_tail_geometry_end_to_end(input_dir, monkeypatch,
     import pandas as pd
 
     pd.testing.assert_frame_equal(run(True), run(False))
+
+
+def test_pallas_auto_mode_gates_short_shapes(monkeypatch):
+    """auto-mode Pallas histogram requires noff >= PALLAS_HIST_MIN_NOFF:
+    each short-bucket shape would cost an uncacheable Mosaic compile
+    (round-5 measurement, docs/BENCHMARKS.md); forced modes bypass the
+    gate (tests pin Pallas on small fixtures)."""
+    import jax
+
+    import grafimo_tpu.ops.score_runs as sr
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "local_devices", lambda: [object()])
+    monkeypatch.setattr(sr, "SCAN_ELEMS_HINT", float("inf"))
+    monkeypatch.delenv("GRAFIMO_PALLAS_HIST", raising=False)
+    assert sr._pallas_hist_mode(sr.PALLAS_HIST_MIN_NOFF) == "bf16lo128"
+    assert sr._pallas_hist_mode(sr.PALLAS_HIST_MIN_NOFF - 1) == "off"
+    assert sr._pallas_hist_mode(None) == "bf16lo128"  # shape-agnostic
+    monkeypatch.setenv("GRAFIMO_PALLAS_HIST", "bf16lo128")
+    assert sr._pallas_hist_mode(8) == "bf16lo128"  # forced: no gate
